@@ -1,0 +1,25 @@
+"""Test harness: CPU backend with 8 virtual devices (SURVEY.md §4.4).
+
+Multi-chip hardware is unavailable; all sharded code paths are exercised on
+a simulated 8-device CPU mesh.  Kernel correctness on the real TPU chip is
+covered separately by bench.py / __graft_entry__.py runs.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The container's sitecustomize (PYTHONPATH=/root/.axon_site) registers the
+# axon TPU plugin and sets jax_platforms="axon,cpu" before conftest runs, so
+# the env var alone is not enough — override the live config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
