@@ -15,3 +15,16 @@ or SWIG layering; only capabilities and numerics carry over.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: axon remote-compiles every new shape (tens of
+# seconds); caching makes warm starts instant.  Opt out: DSR_TPU_NO_CACHE=1.
+if not _os.environ.get("DSR_TPU_NO_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("DSR_TPU_COMP_CACHE", _os.path.expanduser("~/.cache/jax_comp")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

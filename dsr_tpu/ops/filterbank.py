@@ -102,11 +102,12 @@ def _synthesis_impl(A, gf, *, M: int, r: int, delay: int, out_len: int):
     v = jnp.fft.irfft(A, M, axis=-1)                    # (..., T, M)
     tile = np.arange(L) % M
     w = gf * v[..., tile]                               # (..., T, L)
-    wb = w.reshape(*w.shape[:-1], mr, D)                # (..., T, mr, D)
-    y = jnp.zeros((*w.shape[:-2], T + mr - 1, D), w.dtype)
-    for j in range(mr):                                 # static, mr ≲ 16
-        y = y.at[..., j : j + T, :].add(wb[..., :, j, :])
-    y = y.reshape(*y.shape[:-2], -1)
+    # Overlap-add as one static scatter-add: sample i of frame t lands at
+    # t*D + i.  (A Pallas kernel later replaces this on the hot path.)
+    ylen = (T - 1) * D + L
+    idx = (np.arange(T)[:, None] * D + np.arange(L)[None, :]).reshape(-1)
+    y = jnp.zeros((*w.shape[:-2], ylen), w.dtype)
+    y = y.at[..., idx].add(w.reshape(*w.shape[:-2], T * L))
     start = P + delay
     return jax.lax.dynamic_slice_in_dim(y, start, out_len, axis=-1)
 
