@@ -28,13 +28,19 @@ def subband_freqs(M: int, sample_rate: float) -> jnp.ndarray:
     return jnp.arange(M // 2 + 1) * (sample_rate / M)
 
 
+@functools.partial(jax.jit, static_argnames=("M", "sample_rate"))
 def steering_vectors(taus_sec: jnp.ndarray, M: int, sample_rate: float) -> jnp.ndarray:
-    """Array manifold: (..., N) delays (sec) → (..., K, N) complex64."""
+    """Array manifold: (..., N) delays (sec) → (..., K, N) complex64.
+
+    Jitted (as are all complex-producing ops): the axon runtime cannot
+    materialise complex arrays eagerly.
+    """
     f = subband_freqs(M, sample_rate)
     phase = -2.0 * jnp.pi * f[:, None] * taus_sec[..., None, :]
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(jnp.complex64)
 
 
+@jax.jit
 def ds_weights(v: jnp.ndarray) -> jnp.ndarray:
     """Delay-and-sum: w = v / N (distortionless)."""
     return v / v.shape[-1]
@@ -77,6 +83,7 @@ def blocking_matrix(v: jnp.ndarray) -> jnp.ndarray:
     return H[..., :, 1:]
 
 
+@jax.jit
 def apply_weights(X: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """y[..., t, k] = w_kᴴ X[..., :, t, k].  X: (..., N, T, K), w: (..., K, N)."""
     return jnp.einsum("...kn,...ntk->...tk", jnp.conj(w), X)

@@ -1,0 +1,263 @@
+"""Pallas oversampled-DFT filterbank kernels (HOT LOOP 2, SURVEY.md §3.1).
+
+Why a kernel: the XLA path materialises the (T, L) frame matrix in HBM —
+an m·r× read/write amplification of the signal (8× for m=4, r=2).  These
+kernels stream the raw signal HBM→VMEM once per tile, do the polyphase
+window+fold on the VPU, and evaluate the DFT as MXU matmuls, writing only
+the (T, K) subband output back.
+
+STATUS: numerically validated on TPU (err ~2e-7 vs the XLA path), but the
+XLA path is currently FASTER (23 ms vs 840 ms for 64ch×8s analysis): the
+fold's frame-major slices land at non-8-aligned sublane offsets, which
+Mosaic lowers as per-slice relayouts.  `dsr_tpu.ops.filterbank` therefore
+remains the default production path; aligning the fold layout (per-residue
+pre-shifted window copies via 4 strided DMAs) is the known fix, tracked for
+the next round.
+
+Tile-native layout (Mosaic requires (8, 128)-aligned slices):
+  - the signal is viewed as rows of 128 samples; sample s = (row, lane)
+  - hop rows rD = D/128 (the kernels require D % 128 == 0 — true for the
+    production configs M=256/512; other configs use the XLA path)
+  - prototype/window live as (Lrows, 128); the polyphase fold
+    u[p = (row mod mrows)·128 + lane] is a strided row-sum (VPU)
+  - the DFT  A[k] = Σ_p u[p]·e^{-2πipk/M}  splits into mrows (TT, 128) @
+    (128, K) MXU matmuls, one per row-residue — no cross-lane reshapes.
+
+Numerics match `dsr_tpu/ops/filterbank.py` (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dsr_tpu.config import FilterbankConfig
+from dsr_tpu.ops.filterbank import get_prototypes, num_frames
+from dsr_tpu.ops.pallas import use_interpret
+
+HI = jax.lax.Precision.HIGHEST
+LANES = 128
+
+
+def supported(cfg: FilterbankConfig) -> bool:
+    return cfg.D % LANES == 0
+
+
+def _dft_mats(M: int) -> tuple[np.ndarray, np.ndarray]:
+    K = M // 2 + 1
+    p = np.arange(M)[:, None]
+    k = np.arange(K)[None, :]
+    ang = -2.0 * np.pi * p * k / M
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _analysis_kernel(x_ref, hf_ref, cos_ref, sin_ref, re_ref, im_ref, win_ref, sem,
+                     *, TT, rD, Lrows, mrows, WR, totalrows, K):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = c * totalrows + i * TT * rD
+    cp = pltpu.make_async_copy(x_ref.at[pl.ds(row0, WR), :], win_ref, sem)
+    cp.start()
+    cp.wait()
+    acc_re = jnp.zeros((TT, K), jnp.float32)
+    acc_im = jnp.zeros((TT, K), jnp.float32)
+    # Vectorised fold: U_pr[f] = Σ_q win[f·rD + q·mrows + pr]·hf[...] — with
+    # the window viewed as (rows/rD, rD, 128), frame-major slices of TT rows
+    # replace per-frame row loops (the m accumulations are (TT,128) blocks).
+    win3 = win_ref[...].reshape(WR // rD, rD, LANES)
+    for pr in range(mrows):
+        U = jnp.zeros((TT, LANES), jnp.float32)
+        for q in range(Lrows // mrows):
+            j = q * mrows + pr
+            seg = win3[j // rD : j // rD + TT, j % rD, :]    # (TT, 128), static
+            U = U + seg * hf_ref[j][None, :]
+        acc_re = acc_re + jnp.dot(
+            U, cos_ref[pl.ds(pr * LANES, LANES), :],
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        acc_im = acc_im + jnp.dot(
+            U, sin_ref[pl.ds(pr * LANES, LANES), :],
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+    re_ref[0] = acc_re
+    im_ref[0] = acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "T", "TT"))
+def _analysis_impl(x, hf, cfg: FilterbankConfig, T: int, TT: int):
+    """x: (C, S) → (C, T, K) complex64."""
+    M, D, L = cfg.M, cfg.D, cfg.L
+    K = cfg.num_bins
+    P = L - D
+    C, S = x.shape
+    rD = D // LANES
+    Lrows = L // LANES
+    mrows = M // LANES
+    Tpad = ((T + TT - 1) // TT) * TT
+    WR = (TT - 1) * rD + Lrows
+    WR8 = ((WR + 7) // 8) * 8                      # DMA row count, 8-aligned
+    totalrows = ((Tpad * rD + Lrows + (WR8 - WR) + 8 + 7) // 8) * 8
+    total = totalrows * LANES
+    xp = jnp.pad(x, ((0, 0), (P, total - P - S))).reshape(C * totalrows, LANES)
+    cos, sin = _dft_mats(M)
+    grid = (C, Tpad // TT)
+    re, im = pl.pallas_call(
+        functools.partial(
+            _analysis_kernel, TT=TT, rD=rD, Lrows=Lrows, mrows=mrows,
+            WR=WR8, totalrows=totalrows, K=K,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((Lrows, LANES), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, K), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, K), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TT, K), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, K), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, Tpad, K), jnp.float32),
+            jax.ShapeDtypeStruct((C, Tpad, K), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WR8, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=use_interpret(),
+    )(xp, hf.reshape(Lrows, LANES).astype(jnp.float32), jnp.asarray(cos), jnp.asarray(sin))
+    return jax.lax.complex(re[:, :T], im[:, :T])
+
+
+def analysis(x: jnp.ndarray, cfg: FilterbankConfig, hf: np.ndarray | None = None,
+             tile: int = 64) -> jnp.ndarray:
+    """Pallas subband analysis: (..., S) → (..., T, M//2+1) complex64."""
+    assert supported(cfg), f"Pallas filterbank needs D%{LANES}==0; got D={cfg.D}"
+    if hf is None:
+        hf = get_prototypes(cfg)[0]
+    hf = jnp.asarray(hf, jnp.float32)
+    T = num_frames(x.shape[-1], cfg)
+    squeeze = x.ndim == 1
+    flat = x.reshape(-1, x.shape[-1])
+    out = _analysis_impl(flat, hf, cfg, T, tile)
+    return out[0] if squeeze else out.reshape(*x.shape[:-1], T, cfg.num_bins)
+
+
+def _synthesis_kernel(re_ref, im_ref, gf_ref, cos_ref, sin_ref, y_ref, acc_ref, sem,
+                      *, TT, rD, Lrows, mrows, mr, nbpad, Kp):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    F = TT + mr - 1
+    F8 = ((F + 7) // 8) * 8
+    cp_r = pltpu.make_async_copy(
+        re_ref.at[pl.ds(c * nbpad + i * TT, F8), :], acc_ref.at[0], sem.at[0]
+    )
+    cp_i = pltpu.make_async_copy(
+        im_ref.at[pl.ds(c * nbpad + i * TT, F8), :], acc_ref.at[1], sem.at[1]
+    )
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
+    vs = []
+    for pr in range(mrows):
+        v_pr = jnp.dot(
+            acc_ref[0, :F], cos_ref[:, pl.ds(pr * LANES, LANES)],
+            preferred_element_type=jnp.float32, precision=HI,
+        ) + jnp.dot(
+            acc_ref[1, :F], sin_ref[:, pl.ds(pr * LANES, LANES)],
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        vs.append(v_pr)  # (F, 128) — row-residue pr of the IDFT frames
+    out_rows = []
+    for b in range(TT):
+        for rr in range(rD):
+            acc = jnp.zeros((1, LANES), jnp.float32)
+            for j in range(mr):
+                lrow = j * rD + rr                    # row within the frame
+                f = b - j + mr - 1                    # padded frame index
+                pr = lrow % mrows
+                acc = acc + gf_ref[lrow][None, :] * vs[pr][f][None, :]
+            out_rows.append(acc)
+    y_ref[0] = jnp.concatenate(out_rows, axis=0)      # (TT*rD, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_len", "TT"))
+def _synthesis_impl(A, gf, cfg: FilterbankConfig, out_len: int, TT: int):
+    """A: (C, T, K) complex → (C, out_len) float32."""
+    M, D, L = cfg.M, cfg.D, cfg.L
+    mr = L // D
+    K = cfg.num_bins
+    P = L - D
+    C, T, _ = A.shape
+    rD = D // LANES
+    Lrows = L // LANES
+    mrows = M // LANES
+    nb = (T + mr - 1 + TT - 1) // TT * TT
+    nbpad = ((nb + 8 + 7) // 8) * 8                  # channel stride with margin
+    re = jnp.pad(jnp.real(A).astype(jnp.float32), ((0, 0), (mr - 1, nbpad - T - (mr - 1)), (0, 0)))
+    im = jnp.pad(jnp.imag(A).astype(jnp.float32), ((0, 0), (mr - 1, nbpad - T - (mr - 1)), (0, 0)))
+    Kp = ((K + LANES - 1) // LANES) * LANES       # lane-aligned DMA width
+    re = jnp.pad(re, ((0, 0), (0, 0), (0, Kp - K))).reshape(C * nbpad, Kp)
+    im = jnp.pad(im, ((0, 0), (0, 0), (0, Kp - K))).reshape(C * nbpad, Kp)
+    p = np.arange(M)[None, :]
+    k = np.arange(K)[:, None]
+    ang = 2.0 * np.pi * p * k / M
+    scale = np.full((K, 1), 2.0 / M, np.float32)
+    scale[0] = 1.0 / M
+    if M % 2 == 0:
+        scale[-1] = 1.0 / M
+    cosT = np.zeros((Kp, M), np.float32)              # zero rows: padded bins
+    sinT = np.zeros((Kp, M), np.float32)
+    cosT[:K] = np.cos(ang) * scale
+    sinT[:K] = -np.sin(ang) * scale
+    F8 = ((TT + mr - 1 + 7) // 8) * 8
+    grid = (C, nb // TT)
+    y = pl.pallas_call(
+        functools.partial(
+            _synthesis_kernel, TT=TT, rD=rD, Lrows=Lrows, mrows=mrows, mr=mr,
+            nbpad=nbpad, Kp=Kp,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((Lrows, LANES), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, M), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, M), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TT * rD, LANES), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, nb * rD, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, F8, Kp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=use_interpret(),
+    )(re, im, gf.reshape(Lrows, LANES).astype(jnp.float32), jnp.asarray(cosT), jnp.asarray(sinT))
+    yflat = y.reshape(C, -1)
+    return jax.lax.dynamic_slice_in_dim(yflat, P, out_len, axis=1)
+
+
+def synthesis(A: jnp.ndarray, cfg: FilterbankConfig, out_len: int,
+              gf: np.ndarray | None = None, delay: int | None = None,
+              tile: int = 16) -> jnp.ndarray:
+    """Pallas subband synthesis: (..., T, K) → (..., out_len) float32."""
+    assert supported(cfg), f"Pallas filterbank needs D%{LANES}==0; got D={cfg.D}"
+    if gf is None or delay is None:
+        _, gf_, delay_ = get_prototypes(cfg)
+        gf = gf_ if gf is None else gf
+        delay = delay_ if delay is None else delay
+    assert delay == 0, "packed prototypes use delay 0"
+    gf = jnp.asarray(gf, jnp.float32)
+    squeeze = A.ndim == 2
+    flat = A.reshape(-1, *A.shape[-2:])
+    out = _synthesis_impl(flat, gf, cfg, out_len, tile)
+    return out[0] if squeeze else out.reshape(*A.shape[:-2], out_len)

@@ -1,0 +1,129 @@
+"""Pallas GSC-NLMS kernel — the adaptive-weight-update hot loop (HOT LOOP 1,
+SURVEY.md §3.1; north_star "adaptive-weight-update ... as Pallas kernels").
+
+One kernel call runs the WHOLE frame recurrence: the grid dimension is the
+frame index, the active weights live in VMEM scratch and persist across
+grid steps (TPU grids execute sequentially on the core), and each step is a
+handful of (N, K) VPU ops.  Complex arithmetic is explicit re/im pairs
+(Mosaic has no complex dtype).  Numerics match `beamforming.gsc_nlms`
+(tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dsr_tpu.ops.pallas import use_interpret
+
+LANES = 128
+
+
+def _gsc_kernel(xr_ref, xi_ref, wqr_ref, wqi_ref, br_ref, bi_ref,
+                yr_ref, yi_ref, war, wai, *, N, mu, eps, cap):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        war[...] = jnp.zeros_like(war)
+        wai[...] = jnp.zeros_like(wai)
+
+    xr = xr_ref[0]  # (N, Kp)
+    xi = xi_ref[0]
+    wqr = wqr_ref[...]
+    wqi = wqi_ref[...]
+    # yc = wq^H x = Σ_n conj(wq)·x
+    ycr = jnp.sum(wqr * xr + wqi * xi, axis=0, keepdims=True)   # (1, Kp)
+    yci = jnp.sum(wqr * xi - wqi * xr, axis=0, keepdims=True)
+    # z = B^H x  (B stored as (N, N-1, Kp))
+    zr = jnp.zeros((N - 1, xr.shape[-1]), jnp.float32)
+    zi = jnp.zeros((N - 1, xr.shape[-1]), jnp.float32)
+    for n in range(N):
+        brn = br_ref[n]  # (N-1, Kp)
+        bin_ = bi_ref[n]
+        zr = zr + brn * xr[n][None, :] + bin_ * xi[n][None, :]
+        zi = zi + brn * xi[n][None, :] - bin_ * xr[n][None, :]
+    # y = yc - wa^H z
+    wr = war[...]
+    wi = wai[...]
+    yr = ycr - jnp.sum(wr * zr + wi * zi, axis=0, keepdims=True)
+    yi = yci - jnp.sum(wr * zi - wi * zr, axis=0, keepdims=True)
+    yr_ref[0, 0] = yr[0]
+    yi_ref[0, 0] = yi[0]
+    # NLMS update: wa += mu z conj(y) / (||z||² + eps), then norm cap
+    znorm = jnp.sum(zr * zr + zi * zi, axis=0, keepdims=True)
+    g = mu / (znorm + eps)
+    upr = (zr * yr + zi * yi) * g
+    upi = (zi * yr - zr * yi) * g
+    wr = wr + upr
+    wi = wi + upi
+    nrm = jnp.sqrt(jnp.sum(wr * wr + wi * wi, axis=0, keepdims=True))
+    scale = jnp.minimum(1.0, cap / jnp.maximum(nrm, 1e-30))
+    war[...] = wr * scale
+    wai[...] = wi * scale
+
+
+@functools.partial(jax.jit, static_argnames=("mu", "eps", "cap"))
+def _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, mu: float, eps: float, cap: float):
+    T, N, Kp = Xr.shape
+    yr, yi = pl.pallas_call(
+        functools.partial(_gsc_kernel, N=N, mu=mu, eps=eps, cap=cap),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, N, Kp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Kp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, Kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, Kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N - 1, Kp), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N - 1, Kp), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Kp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Kp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 1, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, Kp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N - 1, Kp), jnp.float32),
+            pltpu.VMEM((N - 1, Kp), jnp.float32),
+        ],
+        interpret=use_interpret(),
+    )(Xr, Xi, wqr, wqi, Br, Bi)
+    return yr[:, 0], yi[:, 0]
+
+
+def gsc_nlms(X: jnp.ndarray, wq: jnp.ndarray, B: jnp.ndarray,
+             mu: float = 0.1, eps: float = 1e-6, wa_norm_cap: float = 10.0):
+    """Pallas GSC: X (N, T, K), wq (K, N), B (K, N, N-1) → Y (T, K).
+
+    Same signature/semantics as `dsr_tpu.ops.beamforming.gsc_nlms` (without
+    wa0 threading; final weights are not returned by this fused path).
+    """
+    N, T, K = X.shape
+    Kp = ((K + LANES - 1) // LANES) * LANES
+    pad = Kp - K
+
+    def prep(a):  # (..., K) → (..., Kp) f32
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]).astype(jnp.float32)
+
+    Xtkn = jnp.transpose(X, (1, 0, 2))                  # (T, N, K)
+    Xr = prep(jnp.real(Xtkn))
+    Xi = prep(jnp.imag(Xtkn))
+    wqT = jnp.transpose(wq, (1, 0))                     # (N, K)
+    wqr = prep(jnp.real(wqT))
+    wqi = prep(jnp.imag(wqT))
+    Bt = jnp.transpose(B, (1, 2, 0))                    # (N, N-1, K)
+    # the kernel's z-accumulation computes conj(B)·x itself
+    Br = prep(jnp.real(Bt))
+    Bi = prep(jnp.imag(Bt))
+    # guard padded lanes: znorm of zero-padded lanes is 0 → g = mu/eps large,
+    # but z and y there are 0 so updates stay 0.  Safe.
+    yr, yi = _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, float(mu), float(eps), float(wa_norm_cap))
+    return jax.lax.complex(yr[:, :K], yi[:, :K])

@@ -1,3 +1,3 @@
 """Runtime utilities: host transfer, metrics, profiling, checkpointing."""
 
-from dsr_tpu.utils.hostxfer import to_host  # noqa: F401
+from dsr_tpu.utils.hostxfer import from_host, to_host  # noqa: F401

@@ -1,0 +1,126 @@
+"""Pallas kernel parity gates (run in interpreter mode on the CPU harness;
+the same kernels are validated compiled-on-TPU by the verify drives)."""
+
+import numpy as np
+import pytest
+
+from golden import room as groom
+from dsr_tpu.config import ArrayGeometry, FilterbankConfig
+from dsr_tpu.ops import beamforming as jbf
+from dsr_tpu.ops import filterbank as jfb
+from dsr_tpu.ops.pallas import filterbank as pfb
+from dsr_tpu.ops.pallas import gsc as pgsc
+from dsr_tpu.ops.pallas import steering as psteer
+from dsr_tpu.ops.pallas import viterbi as pvit
+
+SR = 16000.0
+CFG = FilterbankConfig(M=256, m=4, r=2)  # D=128: Pallas-supported config
+
+
+def test_analysis_matches_xla():
+    x = np.random.default_rng(0).standard_normal((2, 20000)).astype(np.float32)
+    A_x = np.asarray(jfb.analysis(x, CFG))
+    A_p = np.asarray(pfb.analysis(x, CFG))
+    assert A_x.shape == A_p.shape
+    assert np.max(np.abs(A_x - A_p)) / np.max(np.abs(A_x)) < 1e-5
+
+
+def test_synthesis_matches_xla_and_reconstructs():
+    x = np.random.default_rng(1).standard_normal(20000).astype(np.float32)
+    A = jfb.analysis(x, CFG)
+    y_x = np.asarray(jfb.synthesis(A, CFG, len(x)))
+    y_p = np.asarray(pfb.synthesis(A, CFG, len(x)))
+    assert np.max(np.abs(y_x - y_p)) / np.max(np.abs(y_x)) < 1e-5
+    err_db = 20 * np.log10(np.max(np.abs(y_p - x)) / np.max(np.abs(x)))
+    assert err_db < -50.0
+
+
+def test_unsupported_config_asserts():
+    bad = FilterbankConfig(M=64, m=4, r=2)  # D=32 < 128
+    x = np.zeros(1000, np.float32)
+    with pytest.raises(AssertionError):
+        pfb.analysis(x, bad)
+
+
+def test_gsc_kernel_matches_scan():
+    M = 64
+    POS = np.asarray(ArrayGeometry.linear(4, 0.04).positions)
+    rng = np.random.default_rng(2)
+    N, T, K = 4, 40, M // 2 + 1
+    taus = groom.steering_delays(POS, np.array([0.0, 1.0, 0.0]), 343.0, SR) / SR
+    v = np.asarray(jbf.steering_vectors(taus.astype(np.float32), M, SR))
+    wq = v / N
+    B = np.asarray(jbf.blocking_matrix(v))
+    X = (rng.standard_normal((N, T, K)) + 1j * rng.standard_normal((N, T, K))).astype(
+        np.complex64
+    )
+    Y_ref, _ = jbf.gsc_nlms(X, wq, B, mu=0.1)
+    Y_pal = pgsc.gsc_nlms(X, wq, B, mu=0.1)
+    assert np.max(np.abs(np.asarray(Y_pal) - np.asarray(Y_ref))) / np.max(
+        np.abs(np.asarray(Y_ref))
+    ) < 1e-5
+
+
+def test_steering_kernel_matches_composed_ops():
+    M = 64
+    POS = np.asarray(ArrayGeometry.linear(6, 0.05).positions)
+    rng = np.random.default_rng(3)
+    N, T, K = 6, 30, M // 2 + 1
+    taus = (groom.steering_delays(POS, np.array([0.5, 1.5, 0.0]), 343.0, SR) / SR).astype(
+        np.float32
+    )
+    X = (rng.standard_normal((N, T, K)) + 1j * rng.standard_normal((N, T, K))).astype(
+        np.complex64
+    )
+    v = jbf.steering_vectors(taus, M, SR)
+    Y_ref = np.asarray(jbf.apply_weights(X, jbf.ds_weights(v)))
+    Y_pal = np.asarray(psteer.ds_beamform(X, taus, M, SR))
+    assert np.max(np.abs(Y_pal - Y_ref)) / np.max(np.abs(Y_ref)) < 1e-4
+
+
+def test_steering_kernel_time_varying_delays():
+    """Per-frame delay trajectories (tracking front end) are supported."""
+    M = 64
+    POS = np.asarray(ArrayGeometry.linear(4, 0.05).positions)
+    rng = np.random.default_rng(4)
+    N, T, K = 4, 20, M // 2 + 1
+    X = (rng.standard_normal((N, T, K)) + 1j * rng.standard_normal((N, T, K))).astype(
+        np.complex64
+    )
+    taus_t = np.stack(
+        [
+            groom.steering_delays(POS, np.array([0.5 + 0.01 * t, 1.5, 0.0]), 343.0, SR) / SR
+            for t in range(T)
+        ]
+    ).astype(np.float32)
+    Y_pal = np.asarray(psteer.ds_beamform(X, taus_t, M, SR))
+    # frame t must equal the static-steering result at taus_t[t]
+    for t in [0, T // 2, T - 1]:
+        v = jbf.steering_vectors(taus_t[t], M, SR)
+        y_t = np.asarray(jbf.apply_weights(X[:, t : t + 1], jbf.ds_weights(v)))[0]
+        assert np.max(np.abs(Y_pal[t] - y_t)) / np.max(np.abs(y_t)) < 1e-4
+
+
+def test_banded_viterbi_kernel_matches_dense():
+    from golden import gmm_hmm as ggh
+
+    rng = np.random.default_rng(5)
+    T, S = 60, 37
+    ll = rng.standard_normal((T, S))
+    self_lp = np.log(0.6) * np.ones(S)
+    adv_lp = np.log(0.4) * np.ones(S)
+    # dense reference on the same banded graph
+    A = np.full((S, S), -1e30)
+    np.fill_diagonal(A, self_lp)
+    for s in range(S - 1):
+        A[s, s + 1] = adv_lp[s + 1]
+    init = np.full(S, -1e30)
+    init[0] = 0.0
+    final = np.full(S, -1e30)
+    final[S - 1] = 0.0
+    p_ref, s_ref = ggh.viterbi_dense(ll, A, init, final)
+    p_pal, s_pal = pvit.banded_viterbi(
+        ll.astype(np.float32), self_lp.astype(np.float32), adv_lp.astype(np.float32)
+    )
+    assert abs(float(s_pal) - s_ref) < 1e-2
+    np.testing.assert_array_equal(np.asarray(p_pal), p_ref)
