@@ -1,0 +1,159 @@
+"""Batched top-K token-passing WFST decoder (the LVCSR path).
+
+Reference behaviour: token lists + beam & histogram pruning per frame
+(SURVEY.md §3.3 HOT LOOP 3).  TPU-native realisation with fixed shapes:
+
+  - arcs are padded per-state to A_max (CSR → dense (S, A_max) tables)
+  - per frame: gather the active tokens' arc rows, score all Kcap·A_max
+    candidates at once, scatter-max into a dense (S,) score board,
+    beam-prune against the frame max, then `top_k` (histogram-prune
+    analogue) selects the next Kcap tokens
+  - backpointers: (T, Kcap) winning (state, arc) pairs; traceback matches
+    states against each frame's token list on device
+
+Exact when Kcap ≥ #reachable states (tested against the dense decoder);
+`parallel/decoder.py` shards the arc tables over the `model` mesh axis and
+combines score boards with pmax — the graph-sharded pod-slice decode of
+BASELINE.json config 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsr_tpu.asr.fsm.packed import PackedGraph
+
+NEG = -1e30
+
+
+class TokenGraph(NamedTuple):
+    pdf: jnp.ndarray      # (S, A_max) int32
+    olabel: jnp.ndarray   # (S, A_max) int32
+    weight: jnp.ndarray   # (S, A_max) f32 log-prob (NEG where invalid)
+    dst: jnp.ndarray      # (S, A_max) int32
+    src_of_arc: jnp.ndarray  # (S*A_max,) int32 flat arc → src state
+    start: jnp.ndarray
+    final_weight: jnp.ndarray  # (S,) f32 log-prob (NEG non-final)
+    num_states: int
+    a_max: int
+
+
+def build_token_graph(g: PackedGraph) -> TokenGraph:
+    S = g.num_states
+    counts = np.zeros(S, np.int64)
+    np.add.at(counts, g.src, 1)
+    A_max = max(1, int(counts.max()))
+    pdf = np.zeros((S, A_max), np.int32)
+    ola = np.zeros((S, A_max), np.int32)
+    wgt = np.full((S, A_max), NEG, np.float32)
+    dst = np.zeros((S, A_max), np.int32)
+    slot = np.zeros(S, np.int64)
+    for a in range(len(g.src)):
+        s = g.src[a]
+        j = slot[s]
+        pdf[s, j] = g.pdf[a]
+        ola[s, j] = g.olabel[a]
+        wgt[s, j] = -g.weight[a]
+        dst[s, j] = g.dst[a]
+        slot[s] += 1
+    src_of_arc = np.repeat(np.arange(S, dtype=np.int32), A_max)
+    fin = np.where(np.isfinite(g.final_weight), -g.final_weight, NEG).astype(np.float32)
+    return TokenGraph(
+        jnp.asarray(pdf), jnp.asarray(ola), jnp.asarray(wgt), jnp.asarray(dst),
+        jnp.asarray(src_of_arc), jnp.asarray(np.int32(g.start)), jnp.asarray(fin),
+        S, A_max,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap"))
+def _decode_impl(loglik, length, pdf, olabel, weight, dst, src_of_arc, start, final_w,
+                 *, num_states, a_max, kcap, beam):
+    T = loglik.shape[0]
+    S = num_states
+
+    states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(start)
+    scores0 = jnp.full((kcap,), NEG, jnp.float32).at[0].set(0.0)
+
+    def step(carry, inp):
+        states, scores = carry
+        t, ll = inp
+        # expand: (kcap, a_max)
+        w = weight[states]
+        cand = scores[:, None] + w + ll[pdf[states]]
+        cdst = dst[states]
+        flat = cand.reshape(-1)
+        fdst = cdst.reshape(-1)
+        dense = jnp.full((S,), NEG).at[fdst].max(flat)
+        # winning GLOBAL arc id per dst state (arc = state*a_max + slot)
+        arc_ids = (states[:, None] * a_max
+                   + jax.lax.broadcasted_iota(jnp.int32, (kcap, a_max), 1)).reshape(-1)
+        is_best = flat >= dense[fdst] - 1e-6
+        best_arc = jnp.full((S,), -1, jnp.int32).at[fdst].max(
+            jnp.where(is_best & (flat > NEG / 2), arc_ids, -1)
+        )
+        # beam prune + top-K (histogram prune analogue)
+        mx = jnp.max(dense)
+        dense = jnp.where(dense > mx - beam, dense, NEG)
+        new_scores, new_states = jax.lax.top_k(dense, kcap)
+        new_states = new_states.astype(jnp.int32)
+        keep = t < length
+        states_out = jnp.where(keep, new_states, states)
+        scores_out = jnp.where(keep, new_scores, scores)
+        bp_arc = jnp.where(keep, best_arc[new_states], -1)
+        return (states_out, scores_out), (states_out, bp_arc)
+
+    ts = jnp.arange(T)
+    (states_f, scores_f), (tok_states, tok_arcs) = jax.lax.scan(
+        step, (states0, scores0), (ts, loglik)
+    )
+    total = scores_f + final_w[states_f]
+    best_slot = jnp.argmax(total)
+    best_state = states_f[best_slot]
+    best_score = total[best_slot]
+
+    def back(state, inp):
+        t, sts, arcs = inp
+        slot = jnp.argmax(sts == state)
+        arc = arcs[slot]
+        valid = (t < length) & (arc >= 0)
+        prev = jnp.where(valid, src_of_arc[jnp.maximum(arc, 0)], state)
+        olab = jnp.where(
+            valid,
+            olabel.reshape(-1)[jnp.maximum(arc, 0)],
+            0,
+        )
+        return prev, olab
+
+    _, olabs = jax.lax.scan(back, best_state, (ts, tok_states, tok_arcs), reverse=True)
+    return olabs, best_score
+
+
+def decode(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
+           beam: float = 1e9, length=None):
+    """loglik: (T, P) → (olabels (T,), score ()).  0-olabels are epsilon."""
+    T = loglik.shape[0]
+    kcap = min(kcap, graph.num_states)
+    length = jnp.asarray(T if length is None else length, jnp.int32)
+    return _decode_impl(
+        loglik, length, graph.pdf, graph.olabel, graph.weight, graph.dst,
+        graph.src_of_arc, graph.start, graph.final_weight,
+        num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
+    )
+
+
+def decode_batch(graph: TokenGraph, loglik: jnp.ndarray, lengths, kcap: int = 256,
+                 beam: float = 1e9):
+    kcap = min(kcap, graph.num_states)
+    f = jax.vmap(
+        lambda ll, ln: _decode_impl(
+            ll, ln, graph.pdf, graph.olabel, graph.weight, graph.dst,
+            graph.src_of_arc, graph.start, graph.final_weight,
+            num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
+        )
+    )
+    return f(loglik, jnp.asarray(lengths, jnp.int32))

@@ -1,0 +1,98 @@
+"""Parallelism gates on the 8-device CPU mesh: top-K token passing equals
+the dense decoder; graph-sharded decode equals single-device decode."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from golden import corpus as gcorpus
+from dsr_tpu.asr import phone_task
+from dsr_tpu.asr.am import gmm as jgmm
+from dsr_tpu.asr.decoder import topk_decoder as tk
+from dsr_tpu.asr.decoder import wfst_decoder as wd
+from dsr_tpu.asr.fsm import hclg, lm
+from dsr_tpu.asr.fsm.packed import pack
+from dsr_tpu.asr.train import trainer
+from dsr_tpu.config import MeshConfig
+from dsr_tpu.ops import features as jft
+from dsr_tpu.parallel import make_mesh
+from dsr_tpu.parallel.decoder import make_sharded_decode
+
+SR = 16000.0
+
+
+def _feats(x):
+    return np.asarray(jft.cmn(jft.mfcc(np.asarray(x, np.float32), SR)))
+
+
+@pytest.fixture(scope="module")
+def system():
+    task = phone_task.PhoneTask(gcorpus.VOCAB[:6], states_per_phone=2)
+    corpus = gcorpus.make_corpus(40, seed=0)
+    corpus = [(ws, x) for ws, x in corpus if all(w in task.vocab for w in ws)][:25]
+    feats = [_feats(x) for _, x in corpus]
+    transcripts = [ws for ws, _ in corpus]
+    params = trainer.train(task, feats, transcripts, num_comp=2, iters=3)
+    arpa = lm.train_arpa_bigram(transcripts, task.vocab)
+    G = lm.arpa_to_fst(arpa, task.words)
+    L, ndis = hclg.build_lexicon_fst(task.lexicon, task.phones, task.words, sil_phone="sil")
+    H = hclg.build_hmm_fst(len(task.phones) - 1, ndis, states_per_phone=task.spp)
+    HCLG = hclg.compose_hclg(H, L, G, len(task.phones) - 1, ndis)
+    graph = pack(HCLG)
+    eval_corpus = gcorpus.make_corpus(4, seed=55)
+    eval_corpus = [(ws, x) for ws, x in eval_corpus if all(w in task.vocab for w in ws)]
+    if not eval_corpus:
+        eval_corpus = [(transcripts[0], corpus[0][1])]
+    lls = [np.asarray(jgmm.loglik(params, _feats(x))) for _, x in eval_corpus]
+    return task, graph, lls
+
+
+def test_topk_equals_dense_when_unpruned(system):
+    task, graph, lls = system
+    dev = wd.to_device(graph)
+    tg = tk.build_token_graph(graph)
+    kcap = graph.num_states  # no pruning loss possible
+    for ll in lls:
+        olabs_d, _, score_d = wd.decode(dev, ll)
+        olabs_t, score_t = tk.decode(tg, ll, kcap=kcap)
+        hyp_d = wd.words_from_olabels(np.asarray(olabs_d), task.words)
+        hyp_t = wd.words_from_olabels(np.asarray(olabs_t), task.words)
+        assert hyp_d == hyp_t
+        assert abs(float(score_d) - float(score_t)) < 1e-2
+
+
+def test_topk_pruned_still_reasonable(system):
+    task, graph, lls = system
+    tg = tk.build_token_graph(graph)
+    dev = wd.to_device(graph)
+    for ll in lls:
+        olabs_t, score_t = tk.decode(tg, ll, kcap=24, beam=1e9)
+        _, _, score_d = wd.decode(dev, ll)
+        # pruned search can only lose log-prob mass, and little at kcap=24
+        assert float(score_t) <= float(score_d) + 1e-3
+        assert float(score_t) > float(score_d) - 5.0
+
+
+def test_sharded_decode_matches_single(system):
+    task, graph, lls = system
+    tg = tk.build_token_graph(graph)
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    kcap = graph.num_states
+    run = make_sharded_decode(mesh, tg, kcap=kcap)
+    T_max = max(len(l) for l in lls)
+    U = 2  # data shards
+    batch = np.full((U, T_max, lls[0].shape[1]), 0.0, np.float32)
+    lens = np.zeros(U, np.int32)
+    for i in range(U):
+        ll = lls[i % len(lls)]
+        batch[i, : len(ll)] = ll
+        lens[i] = len(ll)
+    olabs_sh, scores_sh = run(batch, lens)
+    for i in range(U):
+        ll = lls[i % len(lls)]
+        olabs_1, score_1 = tk.decode(tg, ll, kcap=kcap)
+        hyp_sh = wd.words_from_olabels(np.asarray(olabs_sh[i])[: lens[i]], task.words)
+        hyp_1 = wd.words_from_olabels(np.asarray(olabs_1), task.words)
+        assert hyp_sh == hyp_1
+        assert abs(float(scores_sh[i]) - float(score_1)) < 1e-2
