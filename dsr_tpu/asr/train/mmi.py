@@ -1,0 +1,98 @@
+"""MMI (maximum mutual information) estimation via extended Baum-Welch.
+
+Reference `asr/train/` MMI [K]: numerator statistics from the forced
+alignment of the reference transcript, denominator statistics from the
+forward-backward over the full decoding graph; the M-step is the extended
+Baum-Welch update with a per-Gaussian smoothing constant:
+
+    μ' = (sx_num − sx_den + E·occ·μ) / (occ_num − occ_den + E·occ)
+    σ²' analogous with second-order stats (floored).
+
+Denominator occupancies on the dense packed graph use the same
+forward-backward machinery as training, with per-frame state posteriors
+aggregated to pdfs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dsr_tpu.asr.am.gmm import GmmParams
+from dsr_tpu.asr.train.ml import GmmAccum
+
+
+@jax.jit
+def mstep_mmi(
+    params: GmmParams,
+    num: GmmAccum,
+    den: GmmAccum,
+    e_const: float = 2.0,
+    var_floor: float = 1e-3,
+) -> GmmParams:
+    """Extended Baum-Welch update with E·occ_den smoothing (standard EBW)."""
+    occ_num = num.occ[..., None]
+    occ_den = den.occ[..., None]
+    Dsm = e_const * occ_den + 1e-3
+    denom = occ_num - occ_den + Dsm
+    means = (num.sx - den.sx + Dsm * params.means) / denom
+    second = (
+        num.sxx - den.sxx + Dsm * (params.variances + params.means**2)
+    ) / denom
+    variances = jnp.maximum(second - means**2, var_floor)
+    # weights: EBW weight update (simple smoothed ratio, renormalised)
+    w_new = jnp.maximum(num.occ - den.occ + e_const * jnp.exp(params.logweights) *
+                        jnp.sum(num.occ, axis=-1, keepdims=True), 1e-8)
+    logw = jnp.log(w_new / jnp.sum(w_new, axis=-1, keepdims=True))
+    return GmmParams(means, variances, logw)
+
+
+def denominator_gamma(graph_dev, loglik: jnp.ndarray) -> jnp.ndarray:
+    """State posteriors over the packed decode graph → pdf posteriors.
+
+    graph_dev: wfst_decoder.DeviceGraph; loglik: (T, P) → γ_pdf (T, P).
+    Log-domain forward-backward over arcs (all emitting).
+    """
+    from dsr_tpu.asr.decoder.wfst_decoder import NEG
+
+    src, pdf, w, dst = graph_dev.src, graph_dev.pdf, graph_dev.weight, graph_dev.dst
+    S = graph_dev.num_states
+    T, P = loglik.shape
+    init = jnp.full((S,), NEG).at[graph_dev.start].set(0.0)
+
+    # log-domain segment-logsumexp via segment-max + normalised segment-sum
+    def fwd_exact(alpha, ll):
+        contrib = alpha[src] + w + ll[pdf]
+        mx = jax.ops.segment_max(contrib, dst, S)
+        mx_safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        sums = jax.ops.segment_sum(jnp.exp(contrib - mx_safe[dst]), dst, S)
+        new = jnp.where(sums > 0, mx_safe + jnp.log(sums), NEG)
+        return new, (new, )
+
+    alphaT, (alphas,) = jax.lax.scan(fwd_exact, init, loglik)
+    alphas_all = jnp.concatenate([init[None], alphas[:-1]], axis=0)  # alpha BEFORE frame t
+
+    final = graph_dev.final_weight
+
+    def bwd(beta, ll):
+        contrib = beta[dst] + w + ll[pdf]
+        mx = jax.ops.segment_max(contrib, src, S)
+        mx_safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        sums = jax.ops.segment_sum(jnp.exp(contrib - mx_safe[src]), src, S)
+        new = jnp.where(sums > 0, mx_safe + jnp.log(sums), NEG)
+        return new, beta
+
+    betaT = final
+    _, betas_after = jax.lax.scan(bwd, betaT, loglik, reverse=True)
+    # betas_after[t] = beta AFTER frame t (i.e. over states at time t)
+    total = jax.nn.logsumexp(alphaT + final)
+    # arc posteriors per frame: γ_arc(t) = α_{t}[src] + w + ll_t[pdf] + β_{t+1}[dst] − total
+    def arc_post(carry, inp):
+        ll, alpha_t, beta_next = inp
+        lg = alpha_t[src] + w + ll[pdf] + beta_next[dst] - total
+        g = jnp.exp(jnp.minimum(lg, 0.0))
+        gpdf = jax.ops.segment_sum(g, pdf, P)
+        return carry, gpdf
+
+    _, gammas = jax.lax.scan(arc_post, 0.0, (loglik, alphas_all, betas_after))
+    return gammas  # (T, P)

@@ -1,0 +1,149 @@
+"""Adaptation / MMI / lattice / alignment gates."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from golden import corpus as gcorpus
+from dsr_tpu.asr import phone_task
+from dsr_tpu.asr import path as apath
+from dsr_tpu.asr.adapt import fmllr, mllr
+from dsr_tpu.asr.am import gmm as jgmm
+from dsr_tpu.asr.decoder import lattice as jlat
+from dsr_tpu.asr.decoder import topk_decoder as tk
+from dsr_tpu.asr.decoder import wfst_decoder as wd
+from dsr_tpu.asr.fsm import hclg, lm
+from dsr_tpu.asr.fsm.packed import pack
+from dsr_tpu.asr.train import ml, mmi, trainer
+from dsr_tpu.ops import features as jft
+
+SR = 16000.0
+
+
+def _feats(x):
+    return np.asarray(jft.cmn(jft.mfcc(np.asarray(x, np.float32), SR)))
+
+
+@pytest.fixture(scope="module")
+def system():
+    task = phone_task.PhoneTask(gcorpus.VOCAB[:6], states_per_phone=2)
+    corpus = [(ws, x) for ws, x in gcorpus.make_corpus(40, seed=0)
+              if all(w in task.vocab for w in ws)][:25]
+    feats = [_feats(x) for _, x in corpus]
+    transcripts = [ws for ws, _ in corpus]
+    params = trainer.train(task, feats, transcripts, num_comp=2, iters=3)
+    arpa = lm.train_arpa_bigram(transcripts, task.vocab)
+    G = lm.arpa_to_fst(arpa, task.words)
+    L, ndis = hclg.build_lexicon_fst(task.lexicon, task.phones, task.words, sil_phone="sil")
+    H = hclg.build_hmm_fst(len(task.phones) - 1, ndis, states_per_phone=task.spp)
+    graph = pack(hclg.compose_hclg(H, L, G, len(task.phones) - 1, ndis))
+    return task, params, graph, feats, transcripts
+
+
+def _gamma_for(task, params, feats, words):
+    al = apath.force_align(task, params, feats, words)
+    import jax
+
+    g = jax.nn.one_hot(al.states, task.num_states, dtype=jnp.float32)
+    return np.asarray(g)
+
+
+def test_mllr_improves_loglik_on_shifted_speaker(system):
+    task, params, graph, feats, transcripts = system
+    # simulate a "speaker" with a global cepstral bias
+    shift = np.zeros(13, np.float32)
+    shift[:4] = [2.0, -1.0, 0.8, 0.5]
+    f = feats[0] + shift
+    gamma = _gamma_for(task, params, f, transcripts[0])
+    acc = ml.zero_accum(task.num_states, 2, 13)
+    acc = ml.accumulate(params, jnp.asarray(f), jnp.asarray(gamma), acc)
+    W = mllr.estimate_mllr(params, acc)
+    adapted = mllr.apply_mllr(params, W)
+    ll_before = float(jgmm.loglik(params, jnp.asarray(f)).max(-1).sum())
+    ll_after = float(jgmm.loglik(adapted, jnp.asarray(f)).max(-1).sum())
+    assert ll_after > ll_before + 1.0
+
+
+def test_fmllr_recovers_feature_shift(system):
+    task, params, graph, feats, transcripts = system
+    shift = np.zeros(13, np.float32)
+    shift[:3] = [1.5, -0.7, 0.6]
+    f = feats[1] + shift
+    gamma = _gamma_for(task, params, f, transcripts[1])
+    stats = fmllr.accumulate_fmllr(params, jnp.asarray(f), jnp.asarray(gamma))
+    Wf = fmllr.estimate_fmllr(stats, iters=5)
+    f2 = np.asarray(fmllr.apply_fmllr(jnp.asarray(f), Wf))
+    ll_before = float(jgmm.loglik(params, jnp.asarray(f)).max(-1).sum())
+    ll_after = float(jgmm.loglik(params, jnp.asarray(f2)).max(-1).sum())
+    assert ll_after > ll_before + 1.0
+    # transform should roughly undo the bias
+    b = np.asarray(Wf[:, 13])
+    assert np.corrcoef(b[:3], -shift[:3])[0, 1] > 0.5
+
+
+def test_mmi_improves_criterion(system):
+    task, params, graph, feats, transcripts = system
+    dev = wd.to_device(graph)
+    num = ml.zero_accum(task.num_states, 2, 13)
+    den = ml.zero_accum(task.num_states, 2, 13)
+    utts = list(range(5))
+    for u in utts:
+        f = jnp.asarray(feats[u])
+        gamma_num = jnp.asarray(_gamma_for(task, params, feats[u], transcripts[u]))
+        num = ml.accumulate(params, f, gamma_num, num)
+        ll = jgmm.loglik(params, f)
+        gden = mmi.denominator_gamma(dev, ll)
+        den = ml.accumulate(params, f, gden, den)
+
+    def criterion(p):
+        tot = 0.0
+        for u in utts:
+            f = jnp.asarray(feats[u])
+            al = apath.force_align(task, p, feats[u], transcripts[u])
+            ll = jgmm.loglik(p, f)
+            # numerator: alignment score; denominator: total graph loglik
+            num_s = float(ll[np.arange(len(al.states)), al.states].sum())
+            import jax
+
+            gd = mmi.denominator_gamma(dev, ll)  # den gammas sum to T
+            # approximate den loglik via decoder best score
+            _, _, den_s = wd.decode(dev, ll)
+            tot += num_s - float(den_s)
+        return tot
+
+    c0 = criterion(params)
+    new = mmi.mstep_mmi(params, num, den, e_const=2.0)
+    c1 = criterion(new)
+    assert np.isfinite(c1)
+    assert c1 >= c0 - 1.0  # EBW should not materially degrade MMI criterion
+
+
+def test_lattice_one_best_and_posteriors(system):
+    task, params, graph, feats, transcripts = system
+    tg = tk.build_token_graph(graph)
+    ll = jgmm.loglik(params, jnp.asarray(feats[2]))
+    olabs, score, ts_, ta_, tsc_ = tk.decode_with_tokens(tg, ll, kcap=graph.num_states)
+    lat = jlat.from_topk(ts_, ta_, tsc_, tg)
+    words, lscore = lat.one_best()
+    hyp_direct = [w for w in np.asarray(olabs) if w]
+    assert words == [int(w) for w in hyp_direct]
+    assert abs(lscore - float(score)) < 1e-3
+    post = lat.posteriors()
+    assert post.shape == ts_.shape
+    # the 1-best slots should carry high posterior
+    assert post.max(axis=1).mean() > 0.5
+    assert lat.oracle_errors([task.words[w] for w in transcripts[2]]) <= len(transcripts[2])
+
+
+def test_force_align_segments(system):
+    task, params, graph, feats, transcripts = system
+    al = apath.force_align(task, params, feats[3], transcripts[3])
+    assert len(al.states) == len(feats[3])
+    # segments tile the utterance
+    assert al.segments[0][1] == 0 and al.segments[-1][2] == len(feats[3])
+    covered = sum(e - s for _, s, e in al.segments)
+    assert covered == len(feats[3])
+    # first and last segments are silence states
+    sil0 = task.pdf("sil", 0)
+    assert al.segments[0][0] in (sil0, sil0 + 1)
