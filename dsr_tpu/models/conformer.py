@@ -1,0 +1,148 @@
+"""Conformer-CTC acoustic model (flax.linen) — BASELINE.json config 5.
+
+TPU-first: all matmuls land on the MXU in bf16-friendly shapes; attention
+uses standard dot-product with relative-position bias; the conv module uses
+depthwise 1-D convolution; training loss is `optax.ctc_loss`.  Parameters
+shard per `parallel.sharding` (attention/FFN column-row over `model`,
+activations over `data`).
+
+Scale note: sized for this environment's single v5e chip; the layout
+generalises (ring/Ulysses attention for long audio is the documented
+SURVEY.md §5 path, to be added when multi-chip hardware exists).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.dim * self.mult)(h)
+        h = nn.swish(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.dim)(h)
+        return nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+class RelPosSelfAttention(nn.Module):
+    dim: int
+    heads: int = 4
+    max_dist: int = 128
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        T = x.shape[-2]
+        h = nn.LayerNorm()(x)
+        dh = self.dim // self.heads
+        q = nn.DenseGeneral((self.heads, dh), name="q")(h)
+        k = nn.DenseGeneral((self.heads, dh), name="k")(h)
+        v = nn.DenseGeneral((self.heads, dh), name="v")(h)
+        logits = jnp.einsum("...thd,...shd->...hts", q, k) / np.sqrt(dh)
+        # bucketed relative-position bias
+        rel = jnp.clip(
+            jnp.arange(T)[:, None] - jnp.arange(T)[None, :],
+            -self.max_dist, self.max_dist,
+        ) + self.max_dist
+        bias_table = self.param(
+            "rel_bias", nn.initializers.zeros, (2 * self.max_dist + 1, self.heads)
+        )
+        logits = logits + jnp.transpose(bias_table[rel], (2, 0, 1))
+        if mask is not None:
+            logits = jnp.where(mask[..., None, None, :], logits, -1e30)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("...hts,...shd->...thd", attn, v)
+        return nn.DenseGeneral(self.dim, axis=(-2, -1), name="o")(out)
+
+
+class ConvModule(nn.Module):
+    dim: int
+    kernel_size: int = 15
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(2 * self.dim)(h)
+        h = nn.glu(h, axis=-1)
+        h = nn.Conv(
+            self.dim, (self.kernel_size,), feature_group_count=self.dim, padding="SAME"
+        )(h)
+        h = nn.LayerNorm()(h)  # stand-in for batchnorm (streaming-safe)
+        h = nn.swish(h)
+        return nn.Dense(self.dim)(h)
+
+
+class ConformerBlock(nn.Module):
+    dim: int
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, mask=None, train=False):
+        x = x + 0.5 * FeedForward(self.dim)(x, train)
+        x = x + RelPosSelfAttention(self.dim, self.heads)(x, mask)
+        x = x + ConvModule(self.dim)(x)
+        x = x + 0.5 * FeedForward(self.dim)(x, train)
+        return nn.LayerNorm()(x)
+
+
+class ConformerCtc(nn.Module):
+    """features (…, T, D) → CTC logits (…, T//4, vocab+1) (blank = 0)."""
+
+    vocab: int
+    dim: int = 144
+    layers: int = 4
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, feats, mask=None, train=False):
+        # 4x time subsampling via two strided convs
+        h = feats[..., None]
+        h = nn.Conv(self.dim // 4, (3, 3), strides=(2, 2))(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.dim // 4, (3, 3), strides=(2, 2))(h)
+        h = nn.relu(h)
+        h = h.reshape(*h.shape[:-2], -1)
+        h = nn.Dense(self.dim)(h)
+        sub_mask = None
+        if mask is not None:
+            sub_mask = mask[..., ::2][..., ::2][..., : h.shape[-2]]
+        for _ in range(self.layers):
+            h = ConformerBlock(self.dim, self.heads)(h, sub_mask, train)
+        return nn.Dense(self.vocab + 1)(h)
+
+
+def ctc_loss(logits, logit_lens, labels, label_lens):
+    """optax CTC wrapper: logits (B, T, V+1) with blank id 0."""
+    import optax
+
+    B, T, _ = logits.shape
+    logit_pad = (jnp.arange(T)[None, :] >= logit_lens[:, None]).astype(jnp.float32)
+    L = labels.shape[1]
+    label_pad = (jnp.arange(L)[None, :] >= label_lens[:, None]).astype(jnp.float32)
+    per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad)
+    return jnp.mean(per_seq)
+
+
+def greedy_ctc_decode(logits, length=None) -> np.ndarray:
+    """Best-path decode: collapse repeats, drop blanks (id 0)."""
+    ids = np.asarray(jnp.argmax(logits, axis=-1))
+    out = []
+    prev = -1
+    for t, i in enumerate(ids):
+        if length is not None and t >= length:
+            break
+        if i != prev and i != 0:
+            out.append(int(i))
+        prev = i
+    return np.asarray(out, np.int32)
