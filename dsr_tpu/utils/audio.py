@@ -1,0 +1,149 @@
+"""Audio I/O + native sample streaming (ctypes binding to native/wavio.cpp).
+
+The native library plays the reference's `SampleFeature` (libsndfile read,
+channel select) and `BlockSizeConversion` roles (SURVEY.md §2.1 [K]): WAV
+read/write and a threaded ring-buffer streamer that re-blocks a file into
+fixed-size frames for chunked streaming pipelines.  Falls back to the
+stdlib `wave` module if the shared library is missing and cannot be built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libdsrnative.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.dsr_wav_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
+    lib.dsr_wav_read.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+    ]
+    lib.dsr_wav_write.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.dsr_stream_open.restype = ctypes.c_void_p
+    lib.dsr_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_longlong]
+    lib.dsr_stream_channels.argtypes = [ctypes.c_void_p]
+    lib.dsr_stream_rate.argtypes = [ctypes.c_void_p]
+    lib.dsr_stream_pop.restype = ctypes.c_longlong
+    lib.dsr_stream_pop.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+    ]
+    lib.dsr_stream_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """→ (samples (channels, frames) float32 in [-1, 1], sample_rate)."""
+    lib = _load()
+    if lib is not None:
+        rate = ctypes.c_int()
+        ch = ctypes.c_int()
+        frames = ctypes.c_longlong()
+        if lib.dsr_wav_info(path.encode(), ctypes.byref(rate), ctypes.byref(ch),
+                            ctypes.byref(frames)) == 0:
+            total = frames.value * ch.value
+            buf = np.empty(total, np.float32)
+            rc = lib.dsr_wav_read(path.encode(),
+                                  buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), total)
+            if rc == 0:
+                return buf.reshape(frames.value, ch.value).T.copy(), rate.value
+    # stdlib fallback (PCM16 only)
+    import wave
+
+    with wave.open(path, "rb") as w:
+        data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        x = (data / 32768.0).astype(np.float32).reshape(-1, w.getnchannels()).T.copy()
+        return x, w.getframerate()
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int, pcm16: bool = True):
+    """samples: (channels, frames) or (frames,) float32 in [-1, 1]."""
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    inter = np.ascontiguousarray(x.T.reshape(-1))
+    lib = _load()
+    if lib is not None:
+        rc = lib.dsr_wav_write(
+            path.encode(), inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x.shape[1], x.shape[0], int(sample_rate), 1 if pcm16 else 0,
+        )
+        if rc == 0:
+            return
+    import wave
+
+    with wave.open(path, "wb") as w:
+        w.setnchannels(x.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes((np.clip(inter, -1, 1) * 32767).astype(np.int16).tobytes())
+
+
+class SampleStream:
+    """Native threaded streaming reader: pop fixed-size (channels, block)
+    chunks from a WAV file (BlockSizeConversion + ring buffer)."""
+
+    def __init__(self, path: str, block_frames: int, capacity_frames: int = 65536):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.dsr_stream_open(path.encode(), capacity_frames)
+        if not self._h:
+            raise IOError(f"cannot open {path}")
+        self.channels = lib.dsr_stream_channels(self._h)
+        self.sample_rate = lib.dsr_stream_rate(self._h)
+        self.block_frames = block_frames
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._h is None:
+            raise StopIteration
+        values = self.block_frames * self.channels
+        buf = np.empty(values, np.float32)
+        got = self._lib.dsr_stream_pop(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), values
+        )
+        if got == 0:
+            self.close()
+            raise StopIteration
+        return buf.reshape(self.block_frames, self.channels).T.copy()
+
+    def close(self):
+        if self._h is not None:
+            self._lib.dsr_stream_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

@@ -1,0 +1,44 @@
+"""Native WAV I/O + streaming ring buffer gates."""
+
+import numpy as np
+import pytest
+
+from dsr_tpu.utils import audio
+
+
+def test_wav_roundtrip_pcm16(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (0.8 * rng.standard_normal((2, 5000))).clip(-1, 1).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    audio.write_wav(p, x, 16000, pcm16=True)
+    y, rate = audio.read_wav(p)
+    assert rate == 16000
+    assert y.shape == x.shape
+    assert np.max(np.abs(y - x)) < 1.0 / 32000
+
+
+def test_wav_roundtrip_float32(tmp_path):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 3001)).astype(np.float32)
+    p = str(tmp_path / "f.wav")
+    audio.write_wav(p, x, 8000, pcm16=False)
+    y, rate = audio.read_wav(p)
+    assert rate == 8000
+    np.testing.assert_allclose(y, x, atol=0)
+
+
+def test_sample_stream_reblocks(tmp_path):
+    rng = np.random.default_rng(2)
+    x = (0.5 * rng.standard_normal((2, 10240))).astype(np.float32)
+    p = str(tmp_path / "s.wav")
+    audio.write_wav(p, x, 16000, pcm16=False)
+    blocks = []
+    with audio.SampleStream(p, block_frames=1000) as st:
+        assert st.channels == 2 and st.sample_rate == 16000
+        for b in st:
+            assert b.shape == (2, 1000)
+            blocks.append(b)
+    y = np.concatenate(blocks, axis=1)[:, : x.shape[1]]
+    np.testing.assert_allclose(y, x, atol=0)
+    # 11 blocks of 1000 cover 10240 frames (last zero-padded)
+    assert len(blocks) == 11
