@@ -1,0 +1,51 @@
+"""Speaker-adaptive training (SAT) cascade (reference `asr/adapt/` [K]).
+
+Standard fMLLR-SAT loop: per speaker, estimate an fMLLR transform under the
+current model, transform that speaker's features, re-accumulate ML stats on
+the transformed features, re-estimate the model; iterate.  At test time the
+same per-speaker estimation runs before decoding (the adaptation cascade).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from dsr_tpu.asr.adapt import fmllr
+from dsr_tpu.asr.am import gmm as jgmm
+from dsr_tpu.asr.train import ml
+
+
+def estimate_speaker_transform(params, feats_list, gamma_list, iters: int = 5):
+    """Pool one speaker's utterances → fMLLR transform Wf (D, D+1)."""
+    D = feats_list[0].shape[-1]
+    G = jnp.zeros((D, D + 1, D + 1))
+    k = jnp.zeros((D, D + 1))
+    beta = jnp.zeros(())
+    for f, g in zip(feats_list, gamma_list):
+        s = fmllr.accumulate_fmllr(params, jnp.asarray(f), jnp.asarray(g))
+        G, k, beta = G + s.G, k + s.k, beta + s.beta
+    return fmllr.estimate_fmllr(fmllr.FmllrStats(G, k, beta), iters=iters)
+
+
+def sat_iteration(params, speakers: dict, gamma_fn, num_comp: int, var_floor: float = 1e-3):
+    """One SAT round.
+
+    speakers: {spk: [feats (T, D), ...]};  gamma_fn(params, feats, spk_idx,
+    utt_idx) → (T, S) occupancies (e.g. from forced alignment).
+    Returns (new params, {spk: Wf}).
+    """
+    S, C, D = params.means.shape
+    transforms = {}
+    acc = ml.zero_accum(S, C, D)
+    for spk, utts in speakers.items():
+        gammas = [gamma_fn(params, f, spk, i) for i, f in enumerate(utts)]
+        Wf = estimate_speaker_transform(params, utts, gammas)
+        transforms[spk] = Wf
+        for f, g in zip(utts, gammas):
+            ft = fmllr.apply_fmllr(jnp.asarray(f), Wf)
+            # re-align in the transformed space for sharper occupancies
+            g2 = gamma_fn(params, np.asarray(ft), spk, None)
+            acc = ml.accumulate(params, ft, jnp.asarray(g2), acc)
+    new_params = ml.mstep(acc, var_floor=var_floor)
+    return new_params, transforms

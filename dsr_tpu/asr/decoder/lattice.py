@@ -122,3 +122,42 @@ def from_topk(tok_states, tok_arcs, tok_scores, token_graph) -> Lattice:
         np.asarray(token_graph.weight).reshape(-1),
         np.asarray(token_graph.final_weight),
     )
+
+
+def consensus(lat: Lattice, min_gap: int = 4, threshold: float = 0.3) -> list[int]:
+    """Approximate consensus (confusion-network) decoding.
+
+    Word-emitting links are clustered into time bins (a new bin opens when
+    the gap since the previous link exceeds `min_gap` frames); per bin the
+    posterior mass is summed per word and the argmax emitted if it clears
+    `threshold`.  A light-weight stand-in for full CN alignment — exact on
+    token lattices whose competing words overlap in time (reference
+    `asr/lattice/` consensus [K]).
+    """
+    post = lat.posteriors()
+    links = []  # (t, word, posterior)
+    T, K = lat.states.shape
+    for t in range(T):
+        for k in range(K):
+            a = int(lat.arcs[t, k])
+            if a >= 0:
+                w = int(lat.olabel_of_arc[a])
+                if w:
+                    links.append((t, w, float(post[t, k])))
+    links.sort()
+    out = []
+    bin_words: dict = {}
+    last_t = None
+    for t, w, p in links:
+        if last_t is not None and t - last_t > min_gap and bin_words:
+            best_w, best_p = max(bin_words.items(), key=lambda kv: kv[1])
+            if best_p >= threshold:
+                out.append(best_w)
+            bin_words = {}
+        bin_words[w] = bin_words.get(w, 0.0) + p
+        last_t = t
+    if bin_words:
+        best_w, best_p = max(bin_words.items(), key=lambda kv: kv[1])
+        if best_p >= threshold:
+            out.append(best_w)
+    return out

@@ -104,9 +104,11 @@ def build_lexicon_fst(
 
 
 def build_unigram_g(
-    words: SymbolTable, logprobs: dict[str, float] | None = None
+    words: SymbolTable, logprobs: dict[str, float] | None = None,
+    word_penalty: float = 0.0
 ) -> Wfst:
-    """Word-loop G (unigram): one state, arc per word with -log prob."""
+    """Word-loop G (unigram): one state, arc per word with -log prob
+    (+ optional per-word insertion penalty)."""
     G = Wfst()
     s = G.add_state()
     G.set_start(s)
@@ -115,7 +117,7 @@ def build_unigram_g(
     for w, i in words.name2id.items():
         if i == EPS:
             continue
-        cost = -logprobs[w] if logprobs else math.log(V)
+        cost = (-logprobs[w] if logprobs else math.log(V)) + word_penalty
         G.add_arc(s, i, i, cost, s)
     return G
 

@@ -46,8 +46,13 @@ def parse_arpa(text: str) -> dict[int, dict[tuple[str, ...], tuple[float, float]
     return grams
 
 
-def arpa_to_fst(text: str, words: SymbolTable, bos="<s>", eos="</s>") -> Wfst:
-    """ARPA n-gram → G over the tropical semiring (weights -ln p)."""
+def arpa_to_fst(text: str, words: SymbolTable, bos="<s>", eos="</s>",
+                word_penalty: float = 0.0) -> Wfst:
+    """ARPA n-gram → G over the tropical semiring (weights -ln p).
+
+    word_penalty: constant added per word arc (the classic insertion
+    penalty decoder knob).
+    """
     grams = parse_arpa(text)
     order = max(grams)
     G = Wfst()
@@ -84,7 +89,7 @@ def arpa_to_fst(text: str, words: SymbolTable, bos="<s>", eos="</s>") -> Wfst:
             nxt_hist = gram if o < order else gram[1:]
             dst = st(nxt_hist)
             wid = words[w]
-            G.add_arc(src, wid, wid, cost, dst)
+            G.add_arc(src, wid, wid, cost + word_penalty, dst)
             # back-off arc out of the *new* history
             if o < order and bow10 != 0.0:
                 G.add_arc(st(gram), EPS, EPS, -bow10 * LN10, st(gram[1:]))

