@@ -68,6 +68,27 @@ def mvdr_weights(v: jnp.ndarray, Gamma: jnp.ndarray, loading: float = 1e-2) -> j
 
 
 @jax.jit
+def mvdr_precompute(Gamma: jnp.ndarray, loading: float = 1e-2) -> jnp.ndarray:
+    """Γl⁻¹ per bin — signal- AND steering-independent (geometry only).
+
+    The K batched N×N solves cost ~20-30 ms on chip; hoist them out of the
+    serving path.  Steering updates (e.g. from the tracker) then cost one
+    batched matvec via `mvdr_weights_from_inv`.
+    """
+    N = Gamma.shape[-1]
+    Gl = (Gamma + loading * jnp.eye(N, dtype=Gamma.dtype)).astype(jnp.complex64)
+    return jnp.linalg.inv(Gl)
+
+
+@jax.jit
+def mvdr_weights_from_inv(v: jnp.ndarray, Gamma_inv: jnp.ndarray) -> jnp.ndarray:
+    """w = Γl⁻¹v / (vᴴΓl⁻¹v) from the precomputed inverse (cheap matvec)."""
+    gv = jnp.einsum("...knm,...km->...kn", Gamma_inv, v)
+    denom = jnp.sum(jnp.conj(v) * gv, axis=-1, keepdims=True)
+    return gv / denom
+
+
+@jax.jit
 def blocking_matrix(v: jnp.ndarray) -> jnp.ndarray:
     """Householder complement of v per bin: (K, N) → (K, N, N-1).
 

@@ -84,7 +84,16 @@ def _analysis_impl(x, hf, *, M: int, r: int, T: int):
 
 
 def analysis(x: jnp.ndarray, cfg: FilterbankConfig, hf: np.ndarray | None = None) -> jnp.ndarray:
-    """Subband analysis: (..., S) real → (..., T, M//2+1) complex64."""
+    """Subband analysis: (..., S) real → (..., T, M//2+1) complex64.
+
+    On TPU, configs with D == 128 dispatch to the Pallas streaming kernel
+    (~100× the XLA path, near HBM roofline); everything else (and CPU)
+    uses the XLA path below.
+    """
+    if jax.default_backend() not in ("cpu",) and cfg.D == 128:
+        from dsr_tpu.ops.pallas import filterbank as _pfb
+
+        return _pfb.analysis(x, cfg, hf)
     if hf is None:
         hf = get_prototypes(cfg)[0]
     hf = jnp.asarray(hf, jnp.result_type(x.dtype, jnp.float32))
@@ -119,7 +128,15 @@ def synthesis(
     gf: np.ndarray | None = None,
     delay: int | None = None,
 ) -> jnp.ndarray:
-    """Subband synthesis: (..., T, M//2+1) complex → (..., out_len) real."""
+    """Subband synthesis: (..., T, M//2+1) complex → (..., out_len) real.
+
+    On TPU, configs with D == 128 dispatch to the Pallas OLA kernel (no
+    scatter; see ops/pallas/filterbank.py).
+    """
+    if jax.default_backend() not in ("cpu",) and cfg.D == 128 and (delay or 0) == 0:
+        from dsr_tpu.ops.pallas import filterbank as _pfb
+
+        return _pfb.synthesis(A, cfg, out_len, gf, 0 if delay is None else delay)
     if gf is None or delay is None:
         _, gf_, delay_ = get_prototypes(cfg)
         gf = gf_ if gf is None else gf

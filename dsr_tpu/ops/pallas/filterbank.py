@@ -6,13 +6,13 @@ kernels stream the raw signal HBM→VMEM once per tile, do the polyphase
 window+fold on the VPU, and evaluate the DFT as MXU matmuls, writing only
 the (T, K) subband output back.
 
-STATUS: numerically validated on TPU (err ~2e-7 vs the XLA path), but the
-XLA path is currently FASTER (23 ms vs 840 ms for 64ch×8s analysis): the
-fold's frame-major slices land at non-8-aligned sublane offsets, which
-Mosaic lowers as per-slice relayouts.  `dsr_tpu.ops.filterbank` therefore
-remains the default production path; aligning the fold layout (per-residue
-pre-shifted window copies via 4 strided DMAs) is the known fix, tracked for
-the next round.
+STATUS: the v3 analysis kernel (rD == 1 path: one aligned (TT, 128) DMA
+per window row-offset, fold = full-block FMAs) runs 64ch×8s in 0.3 ms vs
+XLA's 31 ms (~100×, near HBM roofline) at err ~2e-7.  It IS the production
+path (`ops.filterbank.analysis` dispatches to it on TPU for supported
+configs).  The v2 kernel (general D) survives for rD > 1 but loses to XLA
+there — its fold slices land at non-8-aligned sublane offsets, which
+Mosaic lowers as per-slice relayouts.
 
 Tile-native layout (Mosaic requires (8, 128)-aligned slices):
   - the signal is viewed as rows of 128 samples; sample s = (row, lane)
@@ -88,6 +88,86 @@ def _analysis_kernel(x_ref, hf_ref, cos_ref, sin_ref, re_ref, im_ref, win_ref, s
     im_ref[0] = acc_im
 
 
+def _analysis_kernel_v3(x_ref, hf_ref, cos_ref, sin_ref, re_ref, im_ref, wins_ref, sems,
+                        *, TT, Lrows, mrows, totalrows, K):
+    """rD == 1 fast path: one aligned (TT, 128) DMA per window row-offset j,
+    so the fold is Lrows full-block fused multiply-adds — no sublane
+    relayouts (the v2 kernel's bottleneck)."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = c * totalrows + i * TT
+    cps = []
+    for j in range(Lrows):
+        cp = pltpu.make_async_copy(
+            x_ref.at[pl.ds(row0 + j, TT), :], wins_ref.at[j], sems.at[j]
+        )
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+    acc_re = jnp.zeros((TT, K), jnp.float32)
+    acc_im = jnp.zeros((TT, K), jnp.float32)
+    for pr in range(mrows):
+        U = jnp.zeros((TT, LANES), jnp.float32)
+        for q in range(Lrows // mrows):
+            j = q * mrows + pr
+            U = U + wins_ref[j] * hf_ref[j][None, :]
+        acc_re = acc_re + jnp.dot(
+            U, cos_ref[pl.ds(pr * LANES, LANES), :],
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        acc_im = acc_im + jnp.dot(
+            U, sin_ref[pl.ds(pr * LANES, LANES), :],
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+    re_ref[0] = acc_re
+    im_ref[0] = acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "T", "TT"))
+def _analysis_impl_v3(x, hf, cfg: FilterbankConfig, T: int, TT: int):
+    """x: (C, S) → (C, T, K); requires D == 128 (rD == 1)."""
+    M, D, L = cfg.M, cfg.D, cfg.L
+    K = cfg.num_bins
+    P = L - D
+    C, S = x.shape
+    Lrows = L // LANES
+    mrows = M // LANES
+    Tpad = ((T + TT - 1) // TT) * TT
+    totalrows = ((Tpad + Lrows + 8 + 7) // 8) * 8
+    total = totalrows * LANES
+    xp = jnp.pad(x, ((0, 0), (P, total - P - S))).reshape(C * totalrows, LANES)
+    cos, sin = _dft_mats(M)
+    grid = (C, Tpad // TT)
+    re, im = pl.pallas_call(
+        functools.partial(
+            _analysis_kernel_v3, TT=TT, Lrows=Lrows, mrows=mrows,
+            totalrows=totalrows, K=K,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((Lrows, LANES), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, K), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, K), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TT, K), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, K), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, Tpad, K), jnp.float32),
+            jax.ShapeDtypeStruct((C, Tpad, K), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L // LANES, TT, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((L // LANES,)),
+        ],
+        interpret=use_interpret(),
+    )(xp, hf.reshape(Lrows, LANES).astype(jnp.float32), jnp.asarray(cos), jnp.asarray(sin))
+    return jax.lax.complex(re[:, :T], im[:, :T])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "T", "TT"))
 def _analysis_impl(x, hf, cfg: FilterbankConfig, T: int, TT: int):
     """x: (C, S) → (C, T, K) complex64."""
@@ -136,7 +216,7 @@ def _analysis_impl(x, hf, cfg: FilterbankConfig, T: int, TT: int):
 
 
 def analysis(x: jnp.ndarray, cfg: FilterbankConfig, hf: np.ndarray | None = None,
-             tile: int = 64) -> jnp.ndarray:
+             tile: int = 256) -> jnp.ndarray:
     """Pallas subband analysis: (..., S) → (..., T, M//2+1) complex64."""
     assert supported(cfg), f"Pallas filterbank needs D%{LANES}==0; got D={cfg.D}"
     if hf is None:
@@ -145,7 +225,8 @@ def analysis(x: jnp.ndarray, cfg: FilterbankConfig, hf: np.ndarray | None = None
     T = num_frames(x.shape[-1], cfg)
     squeeze = x.ndim == 1
     flat = x.reshape(-1, x.shape[-1])
-    out = _analysis_impl(flat, hf, cfg, T, tile)
+    impl = _analysis_impl_v3 if cfg.D == LANES else _analysis_impl
+    out = impl(flat, hf, cfg, T, tile)
     return out[0] if squeeze else out.reshape(*x.shape[:-1], T, cfg.num_bins)
 
 
@@ -259,5 +340,70 @@ def synthesis(A: jnp.ndarray, cfg: FilterbankConfig, out_len: int,
     gf = jnp.asarray(gf, jnp.float32)
     squeeze = A.ndim == 2
     flat = A.reshape(-1, *A.shape[-2:])
-    out = _synthesis_impl(flat, gf, cfg, out_len, tile)
+    impl = _synthesis_impl_v3 if cfg.D == LANES else _synthesis_impl
+    out = impl(flat, gf, cfg, out_len, tile)
     return out[0] if squeeze else out.reshape(*A.shape[:-2], out_len)
+
+
+def _synthesis_kernel_v4(v_ref, gf_ref, y_ref, vbuf, sems,
+                         *, TT, mrows, mr, vrows_pad):
+    """rD == 1 OLA fast path.  XLA supplies V = irfft(Y) stored row-major as
+    (T·mrows, 128); output row-block b needs plane (j mod mrows) of frame
+    b - j for j = 0..mr-1 — mr aligned-dst DMAs at arbitrary row offsets,
+    then mr full-block FMAs with the gf row blocks.  No scatter."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    cps = []
+    for j in range(mr):
+        # frame index (pre-padded by mr-1): t = i*TT + b - j + (mr-1);
+        # V row = t*mrows + (j % mrows); stride between b's is mrows rows —
+        # load TT*mrows rows starting at b=0 and slice the plane in VMEM.
+        off = c * vrows_pad + (i * TT + (mr - 1 - j)) * mrows
+        cp = pltpu.make_async_copy(
+            v_ref.at[pl.ds(off, TT * mrows), :], vbuf.at[j], sems.at[j]
+        )
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+    acc = jnp.zeros((TT, LANES), jnp.float32)
+    for j in range(mr):
+        plane = vbuf[j].reshape(TT, mrows, LANES)[:, j % mrows, :]
+        acc = acc + gf_ref[j] * plane
+    y_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_len", "TT"))
+def _synthesis_impl_v3(A, gf, cfg: FilterbankConfig, out_len: int, TT: int):
+    """A: (C, T, K) complex → (C, out_len) float32; requires D == 128."""
+    M, D, L = cfg.M, cfg.D, cfg.L
+    mr = L // D
+    P = L - D
+    C, T, _ = A.shape
+    mrows = M // LANES
+    nb = ((T + mr - 1 + TT - 1) // TT) * TT
+    nbpad = ((nb + mr + 8 + 7) // 8) * 8
+    V = jnp.fft.irfft(A, M, axis=-1).astype(jnp.float32)        # (C, T, M)
+    V = jnp.pad(V, ((0, 0), (mr - 1, nbpad - T - (mr - 1)), (0, 0)))
+    vrows_pad = nbpad * mrows
+    V = V.reshape(C * vrows_pad, LANES)                          # row-major
+    grid = (C, nb // TT)
+    y = pl.pallas_call(
+        functools.partial(_synthesis_kernel_v4, TT=TT, mrows=mrows, mr=mr,
+                          vrows_pad=vrows_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((mr, LANES), lambda c, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TT, LANES), lambda c, i: (c, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, nb, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((mr, TT * mrows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((mr,)),
+        ],
+        interpret=use_interpret(),
+    )(V, gf.reshape(mr, LANES).astype(jnp.float32))
+    yflat = y.reshape(C, -1)
+    return jax.lax.dynamic_slice_in_dim(yflat, P, out_len, axis=1)

@@ -154,3 +154,13 @@ def test_gsc_block_matches_sequential_steady_state():
     p_blk = np.mean(np.abs(np.asarray(Y_blk)[half:, hi]) ** 2)
     assert 10 * np.log10(p_ds / p_seq) > 15.0
     assert 10 * np.log10(p_ds / p_blk) > 15.0
+
+
+def test_mvdr_precompute_matches_direct():
+    taus = groom.steering_delays(POS, np.array([2.0, 0.5, 0.0]), 343.0, SR) / SR
+    v = gbf.steering_vectors(taus, M, SR).astype(np.complex64)
+    Gamma = gbf.diffuse_coherence(POS, M, SR, 343.0).astype(np.float32)
+    w_direct = np.asarray(jbf.mvdr_weights(v, Gamma, 1e-2))
+    Ginv = jbf.mvdr_precompute(Gamma, 1e-2)
+    w_pre = np.asarray(jbf.mvdr_weights_from_inv(v, Ginv))
+    assert np.max(np.abs(w_direct - w_pre)) < 1e-4
