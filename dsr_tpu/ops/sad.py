@@ -55,3 +55,40 @@ def sohn_vad(
     K = P.shape[1]
     (_, _), (dec, llr) = jax.lax.scan(step, (jnp.ones(K), jnp.int32(0)), P)
     return dec, llr
+
+
+def segments_from_vad(decisions, min_speech: int = 10, min_gap: int = 15,
+                      pad: int = 5):
+    """Utterance segmenter over frame-level VAD decisions (the reference's
+    segmenter role, SURVEY.md appendix).
+
+    Merges speech runs separated by < min_gap silence frames, drops runs
+    shorter than min_speech, and pads each segment by `pad` frames.
+    Returns [(start_frame, end_frame)].  Host-side (numpy/list) utility.
+    """
+    import numpy as np
+
+    d = np.asarray(decisions).astype(bool)
+    T = len(d)
+    runs = []
+    t = 0
+    while t < T:
+        if d[t]:
+            s = t
+            while t < T and d[t]:
+                t += 1
+            runs.append([s, t])
+        else:
+            t += 1
+    # merge close runs
+    merged = []
+    for r in runs:
+        if merged and r[0] - merged[-1][1] < min_gap:
+            merged[-1][1] = r[1]
+        else:
+            merged.append(r)
+    out = []
+    for s, e in merged:
+        if e - s >= min_speech:
+            out.append((max(0, s - pad), min(T, e + pad)))
+    return out

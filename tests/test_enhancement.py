@@ -139,3 +139,26 @@ def test_wpe_parity_and_dereverberation():
     err_in = np.mean(np.abs(Y - dry) ** 2)
     err_out = np.mean(np.abs(D_g - dry) ** 2)
     assert err_out < 0.5 * err_in
+
+
+def test_segments_from_vad():
+    d = np.zeros(200, np.int32)
+    d[30:80] = 1
+    d[85:90] = 1   # close run: merged
+    d[150:155] = 1  # too short: dropped
+    segs = jsad.segments_from_vad(d, min_speech=10, min_gap=15, pad=5)
+    assert len(segs) == 1
+    s, e = segs[0]
+    assert s == 25 and e == 95
+
+
+def test_objective_measures():
+    from dsr_tpu.utils import objective
+
+    rng = np.random.default_rng(0)
+    ref = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000.0)
+    noisy = ref + 0.1 * rng.standard_normal(len(ref))
+    cleaner = ref + 0.01 * rng.standard_normal(len(ref))
+    assert objective.si_sdr(cleaner, ref) > objective.si_sdr(noisy, ref) + 10
+    assert objective.segmental_snr(cleaner, ref) > objective.segmental_snr(noisy, ref)
+    assert objective.fw_segmental_snr(cleaner, ref) > objective.fw_segmental_snr(noisy, ref)
