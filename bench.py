@@ -10,10 +10,14 @@ Measurement protocol (the axon dev runtime makes naive timing lie):
   - MVDR weights are precomputed (geometry/steering-dependent only; the
     serving path applies them — re-steering is a cheap matvec via
     `mvdr_precompute`);
-  - CHAIN pipelines over distinct inputs run inside ONE jit with a scalar
-    readback per call: `block_until_ready` returns early through the axon
-    tunnel, so only a host readback of a data-dependent scalar bounds the
-    true execution time; chaining amortises the ~30 ms dispatch round trip.
+  - CHAIN pipelines run inside ONE jit with a scalar readback per call:
+    `block_until_ready` returns early through the axon tunnel, so only a
+    host readback of a data-dependent scalar bounds the true execution
+    time; chaining amortises the ~26 ms dispatch round trip (measured:
+    an EMPTY fori_loop body costs 26 ms/call — CHAIN must be ≥100 for
+    the dispatch to fall below 10% of the measured time).  Each chain
+    step pulls a different device-resident buffer via an i-dependent
+    dynamic index, so XLA cannot hoist the work out of the loop.
 
 No published reference numbers exist (BASELINE.json "published": {}), so
 vs_baseline is reported against 1× real time.
@@ -41,7 +45,8 @@ def main():
     SR = 16000.0
     cfg = FilterbankConfig(M=256, m=4, r=2)
     N = 64
-    CHAIN = 10
+    CHAIN = 100
+    NBUF = 8
     geom = ArrayGeometry.circular(N, 0.20)
     POS = np.asarray(geom.positions)
     secs = 8.0
@@ -56,13 +61,13 @@ def main():
         jbf.steering_vectors(jnp.asarray(taus), cfg.M, SR), Ginv
     )
     xs = jax.device_put(
-        np.random.default_rng(0).standard_normal((CHAIN, N, S)).astype(np.float32)
+        np.random.default_rng(0).standard_normal((NBUF, N, S)).astype(np.float32)
     )
 
     @jax.jit
     def pipeline_chain(xs, w):
         def body(i, tot):
-            x = xs[i]
+            x = xs[i % NBUF]
             A = jfb.analysis(x, cfg, hf)
             Y = jbf.apply_weights(A, w)
             y = jfb.synthesis(Y, cfg, S, gf, delay)
