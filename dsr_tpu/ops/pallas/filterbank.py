@@ -230,6 +230,226 @@ def analysis(x: jnp.ndarray, cfg: FilterbankConfig, hf: np.ndarray | None = None
     return out[0] if squeeze else out.reshape(*x.shape[:-1], T, cfg.num_bins)
 
 
+def _dot3(U, Fc, Fs, acc_re, acc_im):
+    """bf16x3 matmul pair with f32 accumulation (see _analysis_bf_kernel)."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    Uh = U.astype(bf16)
+    Ul = (U - Uh.astype(f32)).astype(bf16)
+    for F, acc_is_re in ((Fc, True), (Fs, False)):
+        Fh = F.astype(bf16)
+        Fl = (F - Fh.astype(f32)).astype(bf16)
+        d = (
+            jnp.dot(Uh, Fh, preferred_element_type=f32)
+            + jnp.dot(Ul, Fh, preferred_element_type=f32)
+            + jnp.dot(Uh, Fl, preferred_element_type=f32)
+        )
+        if acc_is_re:
+            acc_re = acc_re + d
+        else:
+            acc_im = acc_im + d
+    return acc_re, acc_im
+
+
+def _analysis_bf_kernel(idx_ref, x_ref, hf_ref, cos_ref, sin_ref, wre_ref, wim_ref,
+                        yre_ref, yim_ref, wins_ref, sems,
+                        *, TT, Lrows, mrows, totalrows, K, C, prec):
+    """Fused analysis + fixed-weight beamform, rD == 1 path.
+
+    Grid is (Ttiles, C) with the channel axis INNERMOST: the (TT, K)
+    output block for tile i stays resident in VMEM while every channel's
+    conj(w_c)·A_c contribution accumulates into it — the per-channel
+    subband tensor (C, T, K) complex64 (132 MB of HBM round trip at 64
+    ch × 8 s) is never materialised.  Window DMAs are double-buffered
+    across channel steps (issue c+1 before computing c).  `idx_ref` is a
+    scalar-prefetched buffer index: x_ref may hold several pre-staged
+    utterances (serving batches pad/stage once at ingest) and the kernel
+    addresses the selected one — no XLA-side gather/pad per call."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    base = idx_ref[0] * (C * totalrows)
+
+    def copies(ch, slot):
+        row0 = base + ch * totalrows + i * TT
+        return [
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(row0 + j, TT), :], wins_ref.at[slot, j],
+                sems.at[slot, j],
+            )
+            for j in range(Lrows)
+        ]
+
+    @pl.when(c == 0)
+    def _prologue():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(c + 1 < C)
+    def _prefetch():
+        for cp in copies(c + 1, (c + 1) % 2):
+            cp.start()
+
+    slot = c % 2
+    for cp in copies(c, slot):
+        cp.wait()
+
+    acc_re = jnp.zeros((TT, K), jnp.float32)
+    acc_im = jnp.zeros((TT, K), jnp.float32)
+    for pr in range(mrows):
+        U = jnp.zeros((TT, LANES), jnp.float32)
+        for q in range(Lrows // mrows):
+            j = q * mrows + pr
+            U = U + wins_ref[slot, j] * hf_ref[j][None, :]
+        Fc = cos_ref[pl.ds(pr * LANES, LANES), :]
+        Fs = sin_ref[pl.ds(pr * LANES, LANES), :]
+        if prec == "bf16x3":
+            # 3-pass bf16 decomposition: ~f32 accuracy at half HIGHEST's
+            # MXU passes (Mosaic has no HIGH lowering).  U = Uh + Ul,
+            # F = Fh + Fl; drop the Ul·Fl term (O(2^-16) relative).
+            acc_re, acc_im = _dot3(U, Fc, Fs, acc_re, acc_im)
+        else:
+            acc_re = acc_re + jnp.dot(
+                U, Fc, preferred_element_type=jnp.float32, precision=prec,
+            )
+            acc_im = acc_im + jnp.dot(
+                U, Fs, preferred_element_type=jnp.float32, precision=prec,
+            )
+    wr = wre_ref[pl.ds(c, 1), :]                       # (1, K)
+    wi = wim_ref[pl.ds(c, 1), :]
+    # y += conj(w_c) · A_c
+    yre_c = acc_re * wr + acc_im * wi
+    yim_c = acc_im * wr - acc_re * wi
+
+    @pl.when(c == 0)
+    def _init():
+        yre_ref[...] = yre_c
+        yim_ref[...] = yim_c
+
+    @pl.when(c != 0)
+    def _accum():
+        yre_ref[...] = yre_ref[...] + yre_c
+        yim_ref[...] = yim_ref[...] + yim_c
+
+
+def _stage_geom(cfg: FilterbankConfig, T: int, TT: int) -> tuple[int, int]:
+    Lrows = cfg.L // LANES
+    Tpad = ((T + TT - 1) // TT) * TT
+    totalrows = ((Tpad + Lrows + 8 + 7) // 8) * 8
+    return Tpad, totalrows
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+def stage_for_beamform(x: jnp.ndarray, cfg: FilterbankConfig, tile: int = 256):
+    """Pre-pad (..., C, S) signals into the fused kernel's frame layout:
+    (B, C·totalrows, 128).  Serving batches stage once at ingest; the
+    kernel then addresses buffers by scalar index with zero per-call
+    XLA-side pad/gather work."""
+    P = cfg.L - cfg.D
+    S = x.shape[-1]
+    T = num_frames(S, cfg)
+    _, totalrows = _stage_geom(cfg, T, tile)
+    total = totalrows * LANES
+    flat = x.reshape(-1, x.shape[-2], S)
+    xp = jnp.pad(flat, ((0, 0), (0, 0), (P, total - P - S)))
+    return xp.reshape(flat.shape[0], flat.shape[1] * totalrows, LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "T", "TT", "prec"))
+def _analysis_bf_staged(xp, idx, hf, wre, wim, cfg: FilterbankConfig, T: int,
+                        TT: int, prec):
+    """xp: (B, C·totalrows, 128) staged, idx: scalar int32, w parts: (C, K)
+    → y: (T, K) complex64; requires D == 128."""
+    M, L = cfg.M, cfg.L
+    K = cfg.num_bins
+    C = wre.shape[0]
+    Lrows = L // LANES
+    mrows = M // LANES
+    Tpad, totalrows = _stage_geom(cfg, T, TT)
+    assert xp.shape[1] == C * totalrows and xp.shape[2] == LANES
+    cos, sin = _dft_mats(M)
+    grid = (Tpad // TT, C)                          # channel axis innermost
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((Lrows, LANES), lambda i, c, idx: (0, 0)),
+            pl.BlockSpec((M, K), lambda i, c, idx: (0, 0)),
+            pl.BlockSpec((M, K), lambda i, c, idx: (0, 0)),
+            pl.BlockSpec((C, K), lambda i, c, idx: (0, 0)),
+            pl.BlockSpec((C, K), lambda i, c, idx: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TT, K), lambda i, c, idx: (i, 0)),
+            pl.BlockSpec((TT, K), lambda i, c, idx: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Lrows, TT, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, Lrows)),
+        ],
+    )
+    re, im = pl.pallas_call(
+        functools.partial(
+            _analysis_bf_kernel, TT=TT, Lrows=Lrows, mrows=mrows,
+            totalrows=totalrows, K=K, C=C, prec=prec,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Tpad, K), jnp.float32),
+            jax.ShapeDtypeStruct((Tpad, K), jnp.float32),
+        ],
+        interpret=use_interpret(),
+    )(
+        jnp.asarray(idx, jnp.int32).reshape(1),
+        xp.reshape(-1, LANES),
+        hf.reshape(Lrows, LANES).astype(jnp.float32),
+        jnp.asarray(cos), jnp.asarray(sin), wre, wim,
+    )
+    return jax.lax.complex(re[:T], im[:T])
+
+
+_PRECS = {"highest": jax.lax.Precision.HIGHEST, "bf16x3": "bf16x3",
+          "default": jax.lax.Precision.DEFAULT}
+
+
+def analysis_beamform_staged(xp: jnp.ndarray, idx, w: jnp.ndarray,
+                             cfg: FilterbankConfig, num_samples: int,
+                             hf: np.ndarray | None = None, tile: int = 256,
+                             precision: str = "highest") -> jnp.ndarray:
+    """Fused analysis+beamform over a pre-staged buffer bank.
+
+    xp: output of `stage_for_beamform` (B, C·totalrows, 128); idx selects
+    the utterance (traced scalar OK — it is scalar-prefetched, so one
+    compilation serves the whole bank); w: (K, C) complex weights.
+    Returns (T, K) complex64 beamformed subbands."""
+    assert supported(cfg) and cfg.D == LANES, (
+        f"fused analysis+beamform needs D == {LANES}; got D={cfg.D}"
+    )
+    if hf is None:
+        hf = get_prototypes(cfg)[0]
+    hf = jnp.asarray(hf, jnp.float32)
+    T = num_frames(num_samples, cfg)
+    wre = jnp.real(w).T.astype(jnp.float32)          # (C, K)
+    wim = jnp.imag(w).T.astype(jnp.float32)
+    return _analysis_bf_staged(xp, idx, hf, wre, wim, cfg, T, tile,
+                               _PRECS[precision])
+
+
+def analysis_beamform(x: jnp.ndarray, w: jnp.ndarray, cfg: FilterbankConfig,
+                      hf: np.ndarray | None = None, tile: int = 256,
+                      precision: str = "highest") -> jnp.ndarray:
+    """Fused subband analysis + fixed-weight beamform.
+
+    x: (C, S) float32 multi-channel signal; w: (K, C) complex weights
+    (`apply_weights` convention) → (T, K) complex64 beamformed subbands,
+    equal to `apply_weights(analysis(x), w)` without materialising the
+    per-channel (C, T, K) subband tensor.  DS/MVDR serving path
+    (time-invariant weights); adaptive beamformers use the unfused path.
+    """
+    xp = stage_for_beamform(x, cfg, tile)
+    return analysis_beamform_staged(xp, 0, w, cfg, x.shape[-1], hf, tile,
+                                    precision)
+
+
 def _synthesis_kernel(re_ref, im_ref, gf_ref, cos_ref, sin_ref, y_ref, acc_ref, sem,
                       *, TT, rD, Lrows, mrows, mr, nbpad, Kp):
     c = pl.program_id(0)

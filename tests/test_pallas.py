@@ -42,6 +42,51 @@ def test_unsupported_config_asserts():
         pfb.analysis(x, bad)
 
 
+def test_fused_analysis_beamform_matches_unfused():
+    """analysis_beamform == apply_weights(analysis(x), w) for MVDR weights,
+    across tile boundaries and batch staging."""
+    N = 6
+    POS = np.asarray(ArrayGeometry.circular(N, 0.10).positions)
+    rng = np.random.default_rng(7)
+    taus = (groom.steering_delays(POS, np.array([0.0, 2.0, 0.0]), 343.0, SR) / SR).astype(
+        np.float32
+    )
+    Gamma = jbf.diffuse_coherence(POS, CFG.M, SR, 343.0)
+    import jax.numpy as jnp
+
+    w = jbf.mvdr_weights(jbf.steering_vectors(jnp.asarray(taus), CFG.M, SR), Gamma)
+    x = rng.standard_normal((N, 40960)).astype(np.float32)  # T=313 → 2 tiles
+    Y_ref = np.asarray(jbf.apply_weights(jfb.analysis(x, CFG), w))
+    Y_fused = np.asarray(pfb.analysis_beamform(jnp.asarray(x), w, CFG))
+    assert Y_fused.shape == Y_ref.shape
+    assert np.max(np.abs(Y_fused - Y_ref)) / np.max(np.abs(Y_ref)) < 1e-5
+
+
+def test_fused_analysis_beamform_staged_bank():
+    """Scalar-prefetched buffer index selects the right staged utterance,
+    and the bf16x3 precision mode stays within the allclose gate."""
+    import jax.numpy as jnp
+
+    N, S = 4, 20000
+    POS = np.asarray(ArrayGeometry.circular(N, 0.08).positions)
+    rng = np.random.default_rng(8)
+    taus = (groom.steering_delays(POS, np.array([1.0, 1.5, 0.0]), 343.0, SR) / SR).astype(
+        np.float32
+    )
+    v = jbf.steering_vectors(jnp.asarray(taus), CFG.M, SR)
+    w = jbf.ds_weights(v)
+    xs = rng.standard_normal((3, N, S)).astype(np.float32)
+    xp = pfb.stage_for_beamform(jnp.asarray(xs), CFG)
+    for b in (0, 2):
+        Y_ref = np.asarray(jbf.apply_weights(jfb.analysis(xs[b], CFG), w))
+        for prec in ("highest", "bf16x3"):
+            Y = np.asarray(
+                pfb.analysis_beamform_staged(xp, b, w, CFG, S, precision=prec)
+            )
+            tol = 1e-5 if prec == "highest" else 3e-5
+            assert np.max(np.abs(Y - Y_ref)) / np.max(np.abs(Y_ref)) < tol
+
+
 def test_gsc_kernel_matches_scan():
     M = 64
     POS = np.asarray(ArrayGeometry.linear(4, 0.04).positions)
