@@ -173,8 +173,16 @@ class Wfst:
         """self ∘ other with the standard 3-state epsilon filter.
 
         Filter states: 0 = free, 1 = eps taken on self output side only,
-        2 = eps taken on other input side only.
+        2 = eps taken on other input side only.  Dispatches to the C++
+        core (native/wfst.cpp) when built; this Python body is the
+        semantics oracle and the fallback.
         """
+        from dsr_tpu.asr.fsm import native
+        if native.available():
+            return native.compose(self, other)
+        return self._compose_py(other)
+
+    def _compose_py(self, other: "Wfst") -> "Wfst":
         a_fst, b_fst = self, other
         out = Wfst()
         state_map: dict[tuple[int, int, int], int] = {}
@@ -222,7 +230,15 @@ class Wfst:
 
     # ---------------------------------------------------------- rmepsilon
     def rmepsilon(self) -> "Wfst":
-        """Remove ε:ε arcs via per-state tropical epsilon closure."""
+        """Remove ε:ε arcs via per-state tropical epsilon closure.
+
+        Dispatches to the C++ core when built (Python body = oracle)."""
+        from dsr_tpu.asr.fsm import native
+        if native.available():
+            return native.rmepsilon(self)
+        return self._rmepsilon_py()
+
+    def _rmepsilon_py(self) -> "Wfst":
         n = self.num_states
         out = Wfst()
         for _ in range(n):
@@ -315,6 +331,12 @@ class Wfst:
         weighted subset construction directly; transducers go through the
         encode → determinize → decode recipe (labels become (i,o) pairs).
         """
+        from dsr_tpu.asr.fsm import native
+        if native.available():
+            return native.determinize(self)
+        return self._determinize_py()
+
+    def _determinize_py(self) -> "Wfst":
         is_acceptor = all(
             a.ilabel == a.olabel for lst in self.arcs for a in lst
         )
