@@ -124,15 +124,175 @@ def from_topk(tok_states, tok_arcs, tok_scores, token_graph) -> Lattice:
     )
 
 
-def consensus(lat: Lattice, min_gap: int = 4, threshold: float = 0.3) -> list[int]:
-    """Approximate consensus (confusion-network) decoding.
+def confusion_network(lat: Lattice) -> list[dict[int, float]]:
+    """Exact confusion network by Mangu–Brill–Stolcke clustering.
+
+    Adapted to the token lattice (links are instantaneous word emissions at
+    a frame):
+      1. links = word-emitting slots with their lattice posteriors;
+      2. the slot DAG's reachability gives the exact path partial order
+         between links (bitset backward propagation);
+      3. intra-word clustering: greedily merge PARALLEL (unordered)
+         clusters of the same word, closest in time first;
+      4. inter-word clustering: greedily merge remaining parallel clusters
+         (closest in time, highest combined posterior as tiebreak) until
+         the clusters are totally ordered;
+      5. emit clusters in topological order as confusion sets
+         {word: posterior}; residual mass (1 − Σp) is the ε hypothesis.
+
+    Merging two parallel clusters can never create a precedence cycle:
+    A ≺ X ≺ B for some X would imply A ≺ B by transitivity, contradicting
+    parallelism, so the greedy merge is always legal (MBS Lemma 1).
+    Reference `asr/lattice/` consensus [K].
+    """
+    T, K = lat.states.shape
+    post = lat.posteriors()
+
+    # ---- 1. collect emitting links -------------------------------------
+    links = []  # (t, k, word, posterior)
+    for t in range(T):
+        for k in range(K):
+            a = int(lat.arcs[t, k])
+            if a >= 0:
+                w = int(lat.olabel_of_arc[a])
+                if w:
+                    links.append((t, k, w, float(post[t, k])))
+    n = len(links)
+    if n == 0:
+        return []
+    link_at = {(t, k): i for i, (t, k, _, _) in enumerate(links)}
+
+    # ---- 2. exact partial order via slot-DAG reachability --------------
+    # reach[k] at frame t = bitmask of links reachable strictly after slot
+    # (t, k); propagated backward.  Slot edge (t-1, j) → (t, k) exists when
+    # states[t-1, j] == src_of_arc[arcs[t, k]].
+    order = np.zeros((n, n), dtype=bool)  # order[i, j]: i strictly precedes j
+    reach_next = [0] * K
+    for t in range(T - 1, 0, -1):
+        reach_here = [0] * K
+        for k in range(K):
+            a = int(lat.arcs[t, k])
+            if a < 0:
+                continue
+            mask = reach_next[k]
+            li = link_at.get((t, k))
+            if li is not None:
+                mask |= 1 << li
+            src = int(lat.src_of_arc[a])
+            for j in np.nonzero(lat.states[t - 1] == src)[0]:
+                reach_here[int(j)] |= mask
+        for k in range(K):
+            li = link_at.get((t - 1, k))
+            if li is not None and reach_here[k]:
+                m = reach_here[k]
+                while m:
+                    low = m & -m
+                    order[li, low.bit_length() - 1] = True
+                    m ^= low
+        reach_next = reach_here
+
+    # ---- clusters: index sets + precedence closure ----------------------
+    clusters: list[list[int]] = [[i] for i in range(n)]
+    prec = order.copy()  # cluster-level precedence (transitive by closure)
+    # transitive closure of the link order (Floyd–Warshall on bool, n small)
+    for m in range(n):
+        prec[prec[:, m]] |= prec[m]
+
+    alive = [True] * n
+
+    def parallel(a: int, b: int) -> bool:
+        return not prec[a, b] and not prec[b, a]
+
+    def do_merge(a: int, b: int):
+        clusters[a].extend(clusters[b])
+        alive[b] = False
+        prec[a] |= prec[b]
+        prec[:, a] |= prec[:, b]
+        # re-close transitively through the merged node
+        prec[prec[:, a]] |= prec[a]
+
+    def tspan(c: int) -> tuple[float, float]:
+        ts = [links[i][0] for i in clusters[c]]
+        return min(ts), max(ts)
+
+    def dist(a: int, b: int) -> float:
+        a0, a1 = tspan(a)
+        b0, b1 = tspan(b)
+        return max(a0, b0) - min(a1, b1)  # negative = overlapping spans
+
+    # ---- 3. intra-word merging ------------------------------------------
+    merged = True
+    while merged:
+        merged = False
+        best = None
+        for a in range(n):
+            if not alive[a]:
+                continue
+            wa = {links[i][2] for i in clusters[a]}
+            for b in range(a + 1, n):
+                if not alive[b] or not parallel(a, b):
+                    continue
+                if not wa & {links[i][2] for i in clusters[b]}:
+                    continue
+                d = dist(a, b)
+                if best is None or d < best[0]:
+                    best = (d, a, b)
+        if best is not None:
+            do_merge(best[1], best[2])
+            merged = True
+
+    # ---- 4. inter-word merging until totally ordered --------------------
+    while True:
+        best = None
+        live = [c for c in range(n) if alive[c]]
+        for ai in range(len(live)):
+            for bi in range(ai + 1, len(live)):
+                a, b = live[ai], live[bi]
+                if not parallel(a, b):
+                    continue
+                d = dist(a, b)
+                if best is None or d < best[0]:
+                    best = (d, a, b)
+        if best is None:
+            break
+        do_merge(best[1], best[2])
+
+    # ---- 5. emit in topological (total) order ---------------------------
+    live = [c for c in range(n) if alive[c]]
+    live.sort(key=lambda c: sum(prec[c, d] for d in live if d != c), reverse=True)
+    sets = []
+    for c in live:
+        probs: dict[int, float] = {}
+        for i in clusters[c]:
+            _, _, w, p = links[i]
+            probs[w] = probs.get(w, 0.0) + p
+        sets.append(probs)
+    return sets
+
+
+def consensus(lat: Lattice, threshold: float = 0.5) -> list[int]:
+    """Consensus decoding: argmax word per confusion set, with the ε
+    hypothesis carrying the residual mass max(0, 1 − Σp) — a set emits its
+    best word only if that word beats ε (i.e. p_best ≥ threshold · nothing;
+    concretely p_best > 1 − Σp, floored by `threshold` · p_total).
+    Reference `asr/lattice/` consensus decoding [K]."""
+    out = []
+    for probs in confusion_network(lat):
+        w, p = max(probs.items(), key=lambda kv: kv[1])
+        eps_mass = max(0.0, 1.0 - sum(probs.values()))
+        if p > eps_mass and p >= threshold * max(sum(probs.values()), 1e-30):
+            out.append(w)
+    return out
+
+
+def consensus_binned(lat: Lattice, min_gap: int = 4, threshold: float = 0.3) -> list[int]:
+    """Approximate consensus by time binning (the cheap fallback).
 
     Word-emitting links are clustered into time bins (a new bin opens when
     the gap since the previous link exceeds `min_gap` frames); per bin the
     posterior mass is summed per word and the argmax emitted if it clears
-    `threshold`.  A light-weight stand-in for full CN alignment — exact on
-    token lattices whose competing words overlap in time (reference
-    `asr/lattice/` consensus [K]).
+    `threshold`.  Kept for very long lattices where the exact MBS
+    clustering (`confusion_network`) is too slow.
     """
     post = lat.posteriors()
     links = []  # (t, word, posterior)

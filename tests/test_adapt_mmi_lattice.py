@@ -189,3 +189,70 @@ def test_consensus_matches_one_best_on_clear_lattice(system):
     # on a confident lattice the consensus hypothesis contains the 1-best
     assert set(one_best) <= set(cn) | set(one_best)
     assert len(cn) >= 1
+
+
+def _mk_lattice(states, arcs, scores, olabels, srcs, finals):
+    return jlat.Lattice(
+        np.asarray(states, np.int32), np.asarray(arcs, np.int32),
+        np.asarray(scores, np.float32), np.asarray(olabels, np.int32),
+        np.asarray(srcs, np.int32), np.zeros(len(olabels), np.float32),
+        np.asarray(finals, np.float32),
+    )
+
+
+def test_confusion_network_parallel_words_one_set():
+    """Two competing words on parallel paths collapse into ONE confusion
+    set (exact MBS clustering), and consensus picks the higher posterior."""
+    # t=0: state1 (word A, better) | state2 (word B); t=1: both → state 3
+    lat = _mk_lattice(
+        states=[[1, 2], [3, 3]],
+        arcs=[[0, 1], [2, 3]],
+        scores=[[-0.51, -0.92], [-0.51, -0.92]],
+        olabels=[1, 2, 0, 0],
+        srcs=[0, 0, 1, 2],
+        finals=[-1e30, -1e30, -1e30, 0.0],
+    )
+    cn = jlat.confusion_network(lat)
+    assert len(cn) == 1
+    assert set(cn[0]) == {1, 2}
+    assert cn[0][1] > cn[0][2]
+    assert jlat.consensus(lat) == [1]
+
+
+def test_confusion_network_sequential_words_two_sets():
+    """Words in sequence on one path stay in separate, ordered sets."""
+    lat = _mk_lattice(
+        states=[[1], [2]],
+        arcs=[[0], [1]],
+        scores=[[-0.1], [-0.2]],
+        olabels=[7, 9],
+        srcs=[0, 1],
+        finals=[-1e30, -1e30, 0.0],
+    )
+    cn = jlat.confusion_network(lat)
+    assert [set(s) for s in cn] == [{7}, {9}]
+    assert jlat.consensus(lat) == [7, 9]
+
+
+def test_confusion_network_interleaved_beats_binning():
+    """Parallel paths emitting the same words at skewed frames: exact MBS
+    merges same-word links across paths and keeps A ≺ C — the naive time
+    binning (consensus_binned) lumps everything into one bin."""
+    # path P: A@t0 (1→via arc0), C@t1 (arc2); path Q: A@t1 (arc1 — one
+    # frame later), C@t2 (arc3).  Shared final state 9.
+    # slots: t0: [1, 5]   (arc0 emits A into 1; arc4 eps into 5)
+    #        t1: [2, 6]   (arc2 emits C into 2 from 1; arc1 emits A into 6 from 5)
+    #        t2: [9, 9]   (arc5 eps from 2; arc3 emits C from 6)
+    lat = _mk_lattice(
+        states=[[1, 5], [2, 6], [9, 9]],
+        arcs=[[0, 4], [2, 1], [5, 3]],
+        scores=[[-0.4, -0.7], [-0.5, -0.8], [-0.6, -0.9]],
+        olabels=[1, 1, 3, 3, 0, 0],
+        srcs=[0, 5, 1, 6, 0, 2],
+        finals=[-1e30] * 9 + [0.0],
+    )
+    cn = jlat.confusion_network(lat)
+    assert [set(s) for s in cn] == [{1}, {3}]  # A-set then C-set, merged across paths
+    assert jlat.consensus(lat) == [1, 3]
+    # both paths' posteriors landed in the merged sets
+    assert cn[0][1] > np.exp(-0.4 - 0.0 + 0.0) * 0.99  # at least path P's mass
