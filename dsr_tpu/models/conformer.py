@@ -6,9 +6,14 @@ depthwise 1-D convolution; training loss is `optax.ctc_loss`.  Parameters
 shard per `parallel.sharding` (attention/FFN column-row over `model`,
 activations over `data`).
 
-Scale note: sized for this environment's single v5e chip; the layout
-generalises (ring/Ulysses attention for long audio is the documented
-SURVEY.md §5 path, to be added when multi-chip hardware exists).
+Long audio (SURVEY.md §5): every block is sequence-parallel capable — set
+`sp_axis` to a time-sharded mesh axis and run the block stack under
+`jax.shard_map`; attention becomes exact ring attention (ppermute K/V
+rotation, parallel.longctx) and the depthwise conv exchanges halo frames
+with ring neighbours.  The subsampling front end is strided and therefore
+stays local: shard time AFTER it (wrap the block stack, not ConformerCtc,
+in shard_map) — tests/test_longctx.py shows the pattern and verifies
+sharded == dense.
 """
 
 from __future__ import annotations
@@ -40,6 +45,7 @@ class RelPosSelfAttention(nn.Module):
     dim: int
     heads: int = 4
     max_dist: int = 128
+    sp_axis: str | None = None  # time-sharded mesh axis → ring attention
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -49,15 +55,22 @@ class RelPosSelfAttention(nn.Module):
         q = nn.DenseGeneral((self.heads, dh), name="q")(h)
         k = nn.DenseGeneral((self.heads, dh), name="k")(h)
         v = nn.DenseGeneral((self.heads, dh), name="v")(h)
+        bias_table = self.param(
+            "rel_bias", nn.initializers.zeros, (2 * self.max_dist + 1, self.heads)
+        )
+        if self.sp_axis is not None:
+            from dsr_tpu.parallel import longctx
+
+            out = longctx.ring_attention(
+                q, k, v, self.sp_axis, bias_table, self.max_dist, kv_mask=mask
+            )
+            return nn.DenseGeneral(self.dim, axis=(-2, -1), name="o")(out)
         logits = jnp.einsum("...thd,...shd->...hts", q, k) / np.sqrt(dh)
         # bucketed relative-position bias
         rel = jnp.clip(
             jnp.arange(T)[:, None] - jnp.arange(T)[None, :],
             -self.max_dist, self.max_dist,
         ) + self.max_dist
-        bias_table = self.param(
-            "rel_bias", nn.initializers.zeros, (2 * self.max_dist + 1, self.heads)
-        )
         logits = logits + jnp.transpose(bias_table[rel], (2, 0, 1))
         if mask is not None:
             logits = jnp.where(mask[..., None, None, :], logits, -1e30)
@@ -69,14 +82,24 @@ class RelPosSelfAttention(nn.Module):
 class ConvModule(nn.Module):
     dim: int
     kernel_size: int = 15
+    sp_axis: str | None = None  # time-sharded mesh axis → halo exchange
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm()(x)
         h = nn.Dense(2 * self.dim)(h)
         h = nn.glu(h, axis=-1)
+        if self.sp_axis is not None:
+            from dsr_tpu.parallel import longctx
+
+            # SAME zero padding globally == halo frames from ring
+            # neighbours (edge shards receive zeros) + VALID conv locally
+            h = longctx.exchange_halo(h, self.sp_axis, self.kernel_size // 2)
+            pad = "VALID"
+        else:
+            pad = "SAME"
         h = nn.Conv(
-            self.dim, (self.kernel_size,), feature_group_count=self.dim, padding="SAME"
+            self.dim, (self.kernel_size,), feature_group_count=self.dim, padding=pad
         )(h)
         h = nn.LayerNorm()(h)  # stand-in for batchnorm (streaming-safe)
         h = nn.swish(h)
@@ -86,12 +109,13 @@ class ConvModule(nn.Module):
 class ConformerBlock(nn.Module):
     dim: int
     heads: int = 4
+    sp_axis: str | None = None  # run under shard_map with time over this axis
 
     @nn.compact
     def __call__(self, x, mask=None, train=False):
         x = x + 0.5 * FeedForward(self.dim)(x, train)
-        x = x + RelPosSelfAttention(self.dim, self.heads)(x, mask)
-        x = x + ConvModule(self.dim)(x)
+        x = x + RelPosSelfAttention(self.dim, self.heads, sp_axis=self.sp_axis)(x, mask)
+        x = x + ConvModule(self.dim, sp_axis=self.sp_axis)(x)
         x = x + 0.5 * FeedForward(self.dim)(x, train)
         return nn.LayerNorm()(x)
 
