@@ -101,29 +101,44 @@ def _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, mu: float, eps: float, cap: float):
 
 def gsc_nlms(X: jnp.ndarray, wq: jnp.ndarray, B: jnp.ndarray,
              mu: float = 0.1, eps: float = 1e-6, wa_norm_cap: float = 10.0):
-    """Pallas GSC: X (N, T, K), wq (K, N), B (K, N, N-1) → Y (T, K).
+    """Pallas GSC: X (N, T, K) or batched (Bb, N, T, K), wq (..., K, N),
+    B (..., K, N, N-1) → Y (..., T, K).
 
-    Same signature/semantics as `dsr_tpu.ops.beamforming.gsc_nlms` (without
-    wa0 threading; final weights are not returned by this fused path).
+    Same semantics as `dsr_tpu.ops.beamforming.gsc_nlms` (without wa0
+    threading; final weights are not returned by this fused path).
+
+    Batching folds the utterance axis into the LANE dimension (Kp → Bb·Kp):
+    every kernel op is lane-wise or a sublane reduction, so a batch of
+    independently adapting utterances (each with its own steering/blocking
+    matrix) IS the single-utterance kernel with wider rows — one kernel
+    call, per-step overhead amortised across the batch.
     """
-    N, T, K = X.shape
+    batched = X.ndim == 4
+    if not batched:
+        X, wq, B = X[None], wq[None], B[None]
+    Bb, N, T, K = X.shape
     Kp = ((K + LANES - 1) // LANES) * LANES
     pad = Kp - K
 
-    def prep(a):  # (..., K) → (..., Kp) f32
-        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]).astype(jnp.float32)
+    def prep(a):
+        """(Bb, ..., K) → (..., Bb·Kp) f32: pad K, move batch beside it."""
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]).astype(jnp.float32)
+        a = jnp.moveaxis(a, 0, -2)                       # (..., Bb, Kp)
+        return a.reshape(*a.shape[:-2], Bb * Kp)
 
-    Xtkn = jnp.transpose(X, (1, 0, 2))                  # (T, N, K)
-    Xr = prep(jnp.real(Xtkn))
+    Xtkn = jnp.transpose(X, (0, 2, 1, 3))                # (Bb, T, N, K)
+    Xr = prep(jnp.real(Xtkn))                            # (T, N, Bb·Kp)
     Xi = prep(jnp.imag(Xtkn))
-    wqT = jnp.transpose(wq, (1, 0))                     # (N, K)
-    wqr = prep(jnp.real(wqT))
+    wqT = jnp.transpose(wq, (0, 2, 1))                   # (Bb, N, K)
+    wqr = prep(jnp.real(wqT))                            # (N, Bb·Kp)
     wqi = prep(jnp.imag(wqT))
-    Bt = jnp.transpose(B, (1, 2, 0))                    # (N, N-1, K)
+    Bt = jnp.transpose(B, (0, 2, 3, 1))                  # (Bb, N, N-1, K)
     # the kernel's z-accumulation computes conj(B)·x itself
-    Br = prep(jnp.real(Bt))
+    Br = prep(jnp.real(Bt))                              # (N, N-1, Bb·Kp)
     Bi = prep(jnp.imag(Bt))
     # guard padded lanes: znorm of zero-padded lanes is 0 → g = mu/eps large,
     # but z and y there are 0 so updates stay 0.  Safe.
     yr, yi = _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, float(mu), float(eps), float(wa_norm_cap))
-    return jax.lax.complex(yr[:, :K], yi[:, :K])
+    Y = jax.lax.complex(yr, yi).reshape(T, Bb, Kp)[..., :K]  # (T, Bb, K)
+    Y = jnp.moveaxis(Y, 1, 0)
+    return Y if batched else Y[0]

@@ -169,3 +169,28 @@ def test_banded_viterbi_kernel_matches_dense():
     )
     assert abs(float(s_pal) - s_ref) < 1e-2
     np.testing.assert_array_equal(np.asarray(p_pal), p_ref)
+
+
+def test_gsc_kernel_batched_matches_scan():
+    """Batched utterances (per-utterance steering) adapt independently
+    inside one kernel call."""
+    M = 64
+    POS = np.asarray(ArrayGeometry.linear(4, 0.04).positions)
+    rng = np.random.default_rng(9)
+    Bb, N, T, K = 3, 4, 30, M // 2 + 1
+    wqs, Bs, Xs, refs = [], [], [], []
+    for b in range(Bb):
+        taus = groom.steering_delays(
+            POS, np.array([0.3 * b - 0.3, 1.0, 0.0]), 343.0, SR) / SR
+        v = np.asarray(jbf.steering_vectors(taus.astype(np.float32), M, SR))
+        wq = v / N
+        Bm = np.asarray(jbf.blocking_matrix(v))
+        X = (rng.standard_normal((N, T, K)) + 1j * rng.standard_normal((N, T, K))
+             ).astype(np.complex64)
+        Y_ref, _ = jbf.gsc_nlms(X, wq, Bm, mu=0.1)
+        wqs.append(wq); Bs.append(Bm); Xs.append(X); refs.append(np.asarray(Y_ref))
+    Y_pal = np.asarray(pgsc.gsc_nlms(
+        np.stack(Xs), np.stack(wqs), np.stack(Bs), mu=0.1))
+    ref = np.stack(refs)
+    assert Y_pal.shape == ref.shape
+    assert np.max(np.abs(Y_pal - ref)) / np.max(np.abs(ref)) < 1e-5
