@@ -7,12 +7,30 @@ window+fold on the VPU, and evaluate the DFT as MXU matmuls, writing only
 the (T, K) subband output back.
 
 STATUS: the v3 analysis kernel (rD == 1 path: one aligned (TT, 128) DMA
-per window row-offset, fold = full-block FMAs) runs 64ch×8s in 0.3 ms vs
-XLA's 31 ms (~100×, near HBM roofline) at err ~2e-7.  It IS the production
-path (`ops.filterbank.analysis` dispatches to it on TPU for supported
-configs).  The v2 kernel (general D) survives for rD > 1 but loses to XLA
-there — its fold slices land at non-8-aligned sublane offsets, which
-Mosaic lowers as per-slice relayouts.
+per window row-offset, fold = full-block FMAs) runs 64ch×8s in ~1 ms vs
+XLA's 31 ms at err ~2e-7.  It IS the production path for standalone
+analysis (`ops.filterbank.analysis` dispatches to it on TPU for supported
+configs); the SERVING path for fixed-weight beamforming is the fused
+`analysis_beamform` kernel below (0.64 ms for the same workload — the
+per-channel (C, T, K) subband tensor never touches HBM).  The v2 kernel
+(general D) survives for rD > 1 but loses to XLA there — its fold slices
+land at non-8-aligned sublane offsets, which Mosaic lowers as per-slice
+relayouts.
+
+Measured design walls on this toolchain (axon + Mosaic, 2026-08), so the
+next session doesn't re-try them:
+  - Non-8-aligned sublane slices of VMEM refs (win_ref[j:j+TT] for j not a
+    multiple of 8) fail to lower at ALL (UNIMPLEMENTED at run time), both
+    as vector loads and as VMEM→VMEM async copies.  The only unaligned
+    row shift on this hardware is an HBM→VMEM DMA — hence the
+    one-DMA-per-window-offset design and its inherent Lrows× HBM read
+    amplification.
+  - That amplification saturates the DMA path at ~400 GB/s effective for
+    the fused kernel (8 overlapping 256 KB reads per step); deeper
+    prefetch (nslots 3/4) does not change throughput, so 2-slot
+    double-buffering is kept as the default.
+  - jax.lax.Precision.HIGH has no Mosaic lowering; f32-accurate matmuls
+    cheaper than HIGHEST use the manual bf16x3 decomposition (_dot3).
 
 Tile-native layout (Mosaic requires (8, 128)-aligned slices):
   - the signal is viewed as rows of 128 samples; sample s = (row, lane)
@@ -252,7 +270,7 @@ def _dot3(U, Fc, Fs, acc_re, acc_im):
 
 def _analysis_bf_kernel(idx_ref, x_ref, hf_ref, cos_ref, sin_ref, wre_ref, wim_ref,
                         yre_ref, yim_ref, wins_ref, sems,
-                        *, TT, Lrows, mrows, totalrows, K, C, prec):
+                        *, TT, Lrows, mrows, totalrows, K, C, prec, nslots=2):
     """Fused analysis + fixed-weight beamform, rD == 1 path.
 
     Grid is (Ttiles, C) with the channel axis INNERMOST: the (TT, K)
@@ -280,15 +298,16 @@ def _analysis_bf_kernel(idx_ref, x_ref, hf_ref, cos_ref, sin_ref, wre_ref, wim_r
 
     @pl.when(c == 0)
     def _prologue():
-        for cp in copies(0, 0):
-            cp.start()
+        for ahead in range(min(nslots - 1, C)):
+            for cp in copies(ahead, ahead % nslots):
+                cp.start()
 
-    @pl.when(c + 1 < C)
+    @pl.when(c + nslots - 1 < C)
     def _prefetch():
-        for cp in copies(c + 1, (c + 1) % 2):
+        for cp in copies(c + nslots - 1, (c + nslots - 1) % nslots):
             cp.start()
 
-    slot = c % 2
+    slot = c % nslots
     for cp in copies(c, slot):
         cp.wait()
 
@@ -353,9 +372,9 @@ def stage_for_beamform(x: jnp.ndarray, cfg: FilterbankConfig, tile: int = 256):
     return xp.reshape(flat.shape[0], flat.shape[1] * totalrows, LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "T", "TT", "prec"))
+@functools.partial(jax.jit, static_argnames=("cfg", "T", "TT", "prec", "nslots"))
 def _analysis_bf_staged(xp, idx, hf, wre, wim, cfg: FilterbankConfig, T: int,
-                        TT: int, prec):
+                        TT: int, prec, nslots: int = 2):
     """xp: (B, C·totalrows, 128) staged, idx: scalar int32, w parts: (C, K)
     → y: (T, K) complex64; requires D == 128."""
     M, L = cfg.M, cfg.L
@@ -383,14 +402,14 @@ def _analysis_bf_staged(xp, idx, hf, wre, wim, cfg: FilterbankConfig, T: int,
             pl.BlockSpec((TT, K), lambda i, c, idx: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Lrows, TT, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, Lrows)),
+            pltpu.VMEM((nslots, Lrows, TT, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((nslots, Lrows)),
         ],
     )
     re, im = pl.pallas_call(
         functools.partial(
             _analysis_bf_kernel, TT=TT, Lrows=Lrows, mrows=mrows,
-            totalrows=totalrows, K=K, C=C, prec=prec,
+            totalrows=totalrows, K=K, C=C, prec=prec, nslots=nslots,
         ),
         grid_spec=grid_spec,
         out_shape=[
