@@ -4,10 +4,15 @@ Reference behaviour: token lists + beam & histogram pruning per frame
 (SURVEY.md §3.3 HOT LOOP 3).  TPU-native realisation with fixed shapes:
 
   - arcs are padded per-state to A_max (CSR → dense (S, A_max) tables)
-  - per frame: gather the active tokens' arc rows, score all Kcap·A_max
-    candidates at once, scatter-max into a dense (S,) score board,
-    beam-prune against the frame max, then `top_k` (histogram-prune
-    analogue) selects the next Kcap tokens
+  - per frame: gather the active tokens' arc rows and score all Kcap·A_max
+    candidates at once; token RECOMBINATION (max per destination state) is
+    a lexicographic sort by (dst, -score) — the first occurrence of each
+    dst in sort order is its best candidate.  TPU scatters serialise
+    (~50 µs/frame for a `.at[dst].max` board on v5e), so the sort-based
+    segmented max replaces the dense score board entirely; nothing in the
+    frame loop is O(S) any more, which also removes the state-count limit
+    on graph size.  Beam prune against the frame max, then `top_k`
+    (histogram-prune analogue) selects the next Kcap tokens.
   - backpointers: (T, Kcap) winning (state, arc) pairs; traceback matches
     states against each frame's token list on device
 
@@ -85,26 +90,26 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, src_of_arc, start, fi
         # expand: (kcap, a_max)
         w = weight[states]
         cand = scores[:, None] + w + ll[pdf[states]]
-        cdst = dst[states]
         flat = cand.reshape(-1)
-        fdst = cdst.reshape(-1)
-        dense = jnp.full((S,), NEG).at[fdst].max(flat)
-        # winning GLOBAL arc id per dst state (arc = state*a_max + slot)
+        fdst = dst[states].reshape(-1)
+        # GLOBAL arc id per candidate (arc = state*a_max + slot)
         arc_ids = (states[:, None] * a_max
                    + jax.lax.broadcasted_iota(jnp.int32, (kcap, a_max), 1)).reshape(-1)
-        is_best = flat >= dense[fdst] - 1e-6
-        best_arc = jnp.full((S,), -1, jnp.int32).at[fdst].max(
-            jnp.where(is_best & (flat > NEG / 2), arc_ids, -1)
-        )
+        # token recombination WITHOUT a scatter: lexicographic sort by
+        # (dst, -score); the first candidate of each dst run is its max
+        sd, sneg, sa = jax.lax.sort((fdst, -flat, arc_ids), num_keys=2)
+        first = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
+        val = jnp.where(first, -sneg, NEG)
         # beam prune + top-K (histogram prune analogue)
-        mx = jnp.max(dense)
-        dense = jnp.where(dense > mx - beam, dense, NEG)
-        new_scores, new_states = jax.lax.top_k(dense, kcap)
-        new_states = new_states.astype(jnp.int32)
+        mx = jnp.max(val)
+        val = jnp.where(val > mx - beam, val, NEG)
+        new_scores, idx = jax.lax.top_k(val, kcap)
+        alive = new_scores > NEG / 2
+        new_states = jnp.where(alive, sd[idx], 0).astype(jnp.int32)
         keep = t < length
         states_out = jnp.where(keep, new_states, states)
         scores_out = jnp.where(keep, new_scores, scores)
-        bp_arc = jnp.where(keep, best_arc[new_states], -1)
+        bp_arc = jnp.where(keep & alive, sa[idx], -1)
         return (states_out, scores_out), (states_out, bp_arc, scores_out)
 
     ts = jnp.arange(T)
