@@ -84,14 +84,36 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, src_of_arc, start, fi
     states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(start)
     scores0 = jnp.full((kcap,), NEG, jnp.float32).at[0].set(0.0)
 
+    # Cross-lane gathers serialise on the TPU; for small/medium graphs the
+    # token-row lookups are cheaper as one-hot matmuls on the MXU.  (Row
+    # ids are exact in f32 below 2^24.)
+    P = loglik.shape[-1]
+    use_onehot = S <= 2048 and P <= 1024
+    if use_onehot:
+        iota_s = jnp.arange(S, dtype=jnp.int32)
+        iota_p = jnp.arange(P, dtype=jnp.int32)
+        wgt_f = weight
+        pdf_f = pdf.astype(jnp.float32)
+        dst_f = dst.astype(jnp.float32)
+
     def step(carry, inp):
         states, scores = carry
         t, ll = inp
-        # expand: (kcap, a_max)
-        w = weight[states]
-        cand = scores[:, None] + w + ll[pdf[states]]
+        if use_onehot:
+            oh = (states[:, None] == iota_s[None, :]).astype(jnp.float32)
+            w = oh @ wgt_f                                   # (kcap, a_max)
+            pdfr = (oh @ pdf_f).astype(jnp.int32)
+            cdst = (oh @ dst_f).astype(jnp.int32)
+            ohp = (pdfr[..., None] == iota_p[None, None, :]).astype(jnp.float32)
+            llv = jnp.einsum("kap,p->ka", ohp, ll)
+        else:
+            w = weight[states]
+            pdfr = pdf[states]
+            cdst = dst[states]
+            llv = ll[pdfr]
+        cand = scores[:, None] + w + llv
         flat = cand.reshape(-1)
-        fdst = dst[states].reshape(-1)
+        fdst = cdst.reshape(-1)
         # GLOBAL arc id per candidate (arc = state*a_max + slot)
         arc_ids = (states[:, None] * a_max
                    + jax.lax.broadcasted_iota(jnp.int32, (kcap, a_max), 1)).reshape(-1)
