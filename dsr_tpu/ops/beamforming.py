@@ -246,3 +246,49 @@ def gsc_rls(
 
     (wa_f, _), Y = jax.lax.scan(step, (wa0, P0), X_tkn)
     return Y, wa_f
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def gsc_maxkurt(
+    X: jnp.ndarray,
+    wq: jnp.ndarray,
+    B: jnp.ndarray,
+    mu: float = 0.1,
+    iters: int = 50,
+    wa_norm_cap: float = 2.0,
+    decay: float = 0.1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Maximum-kurtosis (`SubbandMMI` [K]) GSC — batch adaptation.
+
+    Numerics match `golden.beamforming.gsc_maxkurt`; see there for the
+    derivation (normalised, decaying-step kurtosis ascent).  TPU-first:
+    all K bins adapt in parallel (the per-bin gradient is two batched
+    reductions over frames on the VPU), and the fixed `iters` gradient
+    ascent is a `fori_loop` compiled once.
+
+    X: (N, T, K);  wq: (K, N);  B: (K, N, N-1)  →  (Y (T, K), wa (K, N-1)).
+    """
+    eps = 1e-12
+    Z = jnp.einsum("knm,ntk->kmt", jnp.conj(B), X)    # (K, N-1, T)
+    yq = jnp.einsum("kn,ntk->kt", jnp.conj(wq), X)    # (K, T)
+    wa0 = jnp.zeros(B.shape[::2], dtype=X.dtype)      # (K, N-1)
+
+    def body(it, wa):
+        y = yq - jnp.einsum("km,kmt->kt", jnp.conj(wa), Z)
+        ay2 = jnp.abs(y) ** 2
+        P = jnp.mean(ay2, axis=1)                     # (K,)
+        A = jnp.mean(ay2**2, axis=1)
+        e_y2yz = jnp.mean((ay2 * jnp.conj(y))[:, None, :] * Z, axis=2)  # (K, N-1)
+        e_yz = jnp.mean(jnp.conj(y)[:, None, :] * Z, axis=2)
+        g = (
+            -2.0 * e_y2yz / jnp.maximum(P * P, eps)[:, None]
+            + (2.0 * A / jnp.maximum(P**3, eps))[:, None] * e_yz
+        )
+        step = mu / (1.0 + it.astype(jnp.float32) * decay)
+        wa = wa + step * g / (jnp.linalg.norm(g, axis=1, keepdims=True) + eps)
+        nrm = jnp.linalg.norm(wa, axis=1, keepdims=True)
+        return wa * jnp.minimum(1.0, wa_norm_cap / jnp.maximum(nrm, 1e-30))
+
+    wa = jax.lax.fori_loop(0, iters, body, wa0)
+    Y = (yq - jnp.einsum("km,kmt->kt", jnp.conj(wa), Z)).T
+    return Y, wa

@@ -75,3 +75,31 @@ def apab_weights(Y: jnp.ndarray, Z: jnp.ndarray, alpha: float = 0.8, floor: floa
 
 def apply_postfilter(Y: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
     return Y * H.astype(Y.real.dtype)
+
+
+@jax.jit
+def lefkimmiatis_weights(
+    X: jnp.ndarray,
+    Gamma: jnp.ndarray,
+    w: jnp.ndarray,
+    alpha: float = 0.8,
+    floor: float = 0.1,
+) -> jnp.ndarray:
+    """Lefkimmiatis post-filter: McCowan's speech-PSD estimate with the
+    Wiener gain formed from the diffuse-noise PSD at the *beamformer
+    output* (w^H Γ w).  Numerics match `golden.postfilter.lefkimmiatis_weights`.
+
+    X: (N, T, K); Gamma: (K, N, N); w: (K, N) → gain (T, K).
+    """
+    N = X.shape[0]
+    ii, jj = np.triu_indices(N, k=1)
+    phi_auto = _smooth_ch(jnp.abs(X) ** 2, alpha)                    # (N, T, K)
+    phi_ij = _smooth_ch(jnp.real(X[ii] * jnp.conj(X[jj])), alpha)    # (P, T, K)
+    g = jnp.clip(jnp.real(Gamma[:, ii, jj]).T, -0.99, 0.99)          # (P, K)
+    num = (phi_ij - 0.5 * g[:, None, :] * (phi_auto[ii] + phi_auto[jj])) / (1.0 - g[:, None, :])
+    phi_ss = jnp.maximum(jnp.mean(num, axis=0), 0.0)                 # (T, K)
+    phi_nn = jnp.maximum(jnp.mean(phi_auto, axis=0) - phi_ss, 0.0)
+    wgw = jnp.real(jnp.einsum("kn,knm,km->k", jnp.conj(w), Gamma.astype(w.dtype), w))
+    wgw = jnp.maximum(wgw, 1e-6)[None, :]
+    H = phi_ss / jnp.maximum(phi_ss + wgw * phi_nn, 1e-12)
+    return jnp.clip(H, floor, 1.0)

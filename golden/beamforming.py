@@ -117,3 +117,59 @@ def gsc_nlms(
 def apply_weights(X: np.ndarray, w: np.ndarray) -> np.ndarray:
     """y[t,k] = w_k^H X[:,t,k].   X: (N, T, K), w: (K, N) → (T, K)."""
     return np.einsum("kn,ntk->tk", np.conj(w), X)
+
+
+def gsc_maxkurt(
+    X: np.ndarray,
+    wq: np.ndarray,
+    B: np.ndarray,
+    mu: float = 0.1,
+    iters: int = 50,
+    wa_norm_cap: float = 2.0,
+    decay: float = 0.1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """GSC with active weights adapted by batch gradient ascent on the
+    normalised kurtosis of the output — the maximum-negentropy / maximum-
+    kurtosis beamformer of Kumatani et al. (reference `SubbandMMI` [K],
+    SURVEY.md §2.1).  Speech is super-Gaussian, so maximising output
+    kurtosis under the distortionless constraint (enforced structurally by
+    the GSC: w = wq − B·wa with B ⟂ v) recovers the target and cancels
+    interference, without needing a noise-only coherence model.
+
+    Per bin k, over the whole utterance (batch adaptation, as upstream):
+        y_t = wq_k^H x_t − wa_k^H z_t,   z_t = B_k^H x_t
+        J(wa) = E|y|⁴ / (E|y|²)²                (scale-invariant kurtosis)
+        ∇_{wa*} J = −2·E[|y|² y* z]/P² + 2·(A/P³)·E[y* z]
+                    with P = E|y|², A = E|y|⁴
+        wa ← wa + (μ/(1+i·decay))·∇/||∇||      (normalised, decaying step —
+                    the raw gradient magnitude varies by orders of
+                    magnitude across bins and overshoots)
+        then ||wa|| capped (regularisation).
+
+    X: (N, T, K);  wq: (K, N);  B: (K, N, N-1).
+    Returns (Y, wa_final) with Y: (T, K) computed with the final weights.
+    """
+    N, T, K = X.shape
+    eps = 1e-12
+    wa = np.zeros((K, N - 1), dtype=complex)
+    for k in range(K):
+        z = np.conj(B[k]).T @ X[:, :, k]          # (N-1, T)
+        yq = np.conj(wq[k]) @ X[:, :, k]          # (T,)
+        for it in range(iters):
+            y = yq - np.conj(wa[k]) @ z           # (T,)
+            ay2 = np.abs(y) ** 2
+            P = ay2.mean()
+            A = (ay2 ** 2).mean()
+            e_y2yz = np.mean((ay2 * np.conj(y))[None, :] * z, axis=1)  # E[|y|² y* z]
+            e_yz = np.mean(np.conj(y)[None, :] * z, axis=1)            # E[y* z]
+            g = -2.0 * e_y2yz / max(P * P, eps) + (2.0 * A / max(P ** 3, eps)) * e_yz
+            step = mu / (1.0 + it * decay)
+            wa[k] = wa[k] + step * g / (np.linalg.norm(g) + eps)
+            nrm = np.linalg.norm(wa[k])
+            if nrm > wa_norm_cap:
+                wa[k] *= wa_norm_cap / nrm
+    Y = np.empty((T, K), dtype=complex)
+    for k in range(K):
+        z = np.conj(B[k]).T @ X[:, :, k]
+        Y[:, k] = np.conj(wq[k]) @ X[:, :, k] - np.conj(wa[k]) @ z
+    return Y, wa

@@ -79,3 +79,42 @@ def apab_weights(Y: np.ndarray, Z: np.ndarray, alpha: float = 0.8, floor: float 
     phi_z = _smooth(np.abs(Z) ** 2, alpha)
     H = 1.0 - phi_z / np.maximum(phi_y, 1e-12)
     return np.clip(H, floor, 1.0)
+
+
+def lefkimmiatis_weights(
+    X: np.ndarray,
+    Gamma: np.ndarray,
+    w: np.ndarray,
+    alpha: float = 0.8,
+    floor: float = 0.1,
+) -> np.ndarray:
+    """Lefkimmiatis(-Maragos) post-filter gain H (T, K) (reference
+    `btk/postfilter/` [K], SURVEY.md §2.1).
+
+    McCowan's coherence-corrected pairwise speech-PSD estimate, but with
+    the Wiener gain formed from the noise PSD *at the beamformer output*
+    (the superdirective beamformer already attenuates diffuse noise by
+    w^H Γ w, which McCowan/Zelinski ignore):
+
+        φ̂_ss  = mean_{i<j} (Re φ_ij − ½·Re Γ_ij·(φ_ii+φ_jj)) / (1 − Re Γ_ij)
+        φ̂_nn  = max(mean_i φ_ii − φ̂_ss, 0)        (diffuse noise at a mic)
+        H     = φ̂_ss / (φ̂_ss + (w^H Γ w)·φ̂_nn)
+
+    X: (N, T, K);  Gamma: (K, N, N);  w: (K, N) beamformer weights.
+    """
+    N, T, K = X.shape
+    phi_auto = np.stack([_smooth(np.abs(X[i]) ** 2, alpha) for i in range(N)])  # (N, T, K)
+    num = np.zeros((T, K))
+    npairs = 0
+    for i in range(N):
+        for j in range(i + 1, N):
+            phi_ij = _smooth(np.real(X[i] * np.conj(X[j])), alpha)
+            g = np.clip(np.real(Gamma[:, i, j]), -0.99, 0.99)[None, :]
+            num += (phi_ij - 0.5 * g * (phi_auto[i] + phi_auto[j])) / (1.0 - g)
+            npairs += 1
+    phi_ss = np.maximum(num / npairs, 0.0)                       # (T, K)
+    phi_nn = np.maximum(np.mean(phi_auto, axis=0) - phi_ss, 0.0)
+    wgw = np.real(np.einsum("kn,knm,km->k", np.conj(w), Gamma.astype(complex), w))
+    wgw = np.maximum(wgw, 1e-6)[None, :]                         # (1, K)
+    H = phi_ss / np.maximum(phi_ss + wgw * phi_nn, 1e-12)
+    return np.clip(H, floor, 1.0)

@@ -164,3 +164,38 @@ def test_mvdr_precompute_matches_direct():
     Ginv = jbf.mvdr_precompute(Gamma, 1e-2)
     w_pre = np.asarray(jbf.mvdr_weights_from_inv(v, Ginv))
     assert np.max(np.abs(w_direct - w_pre)) < 1e-4
+
+
+def test_gsc_maxkurt_parity_and_interference_suppression():
+    """SubbandMMI parity gate: jax == golden, and the max-kurtosis GSC
+    nulls a Gaussian interferer while passing the super-Gaussian target."""
+    rng = np.random.default_rng(7)
+    N, T, K = 4, 300, M // 2 + 1
+    taus_s = groom.steering_delays(POS[:N], np.array([0.0, 2.0, 0.0]), 343.0, SR) / SR
+    taus_i = groom.steering_delays(POS[:N], np.array([2.0, 1.0, 0.0]), 343.0, SR) / SR
+    v_s = gbf.steering_vectors(taus_s, M, SR)
+    v_i = gbf.steering_vectors(taus_i, M, SR)
+    # super-Gaussian target (Laplacian magnitude), Gaussian interferer
+    s = rng.laplace(size=(T, K)) * np.exp(2j * np.pi * rng.random((T, K)))
+    n = (rng.standard_normal((T, K)) + 1j * rng.standard_normal((T, K))) * 2.0
+    X = v_s.T[:, None, :] * s[None] + v_i.T[:, None, :] * n[None]
+    X += 0.01 * (rng.standard_normal(X.shape) + 1j * rng.standard_normal(X.shape))
+    wq = gbf.ds_weights(v_s)
+    B = gbf.blocking_matrix(v_s)
+    # parity at few iterations (complex64 drift compounds per gradient step)
+    Yp_g, wap_g = gbf.gsc_maxkurt(X, wq, B, mu=0.1, iters=6)
+    Yp_j, wap_j = jbf.gsc_maxkurt(
+        X.astype(np.complex64), wq.astype(np.complex64), B.astype(np.complex64),
+        0.1, 6, 2.0,
+    )
+    assert np.max(np.abs(np.asarray(wap_j) - wap_g)) < 5e-3
+    assert np.max(np.abs(np.asarray(Yp_j) - Yp_g)) < 5e-2
+    Y_g, wa_g = gbf.gsc_maxkurt(X, wq, B, mu=0.1, iters=50)
+    # interference gain |w^H v_i| drops vs the quiescent DS beam; target
+    # gain stays distortionless (w^H v_s == 1 by GSC structure).
+    w_final = wq - np.einsum("knm,km->kn", B, wa_g)
+    gain_t = np.abs(np.sum(np.conj(w_final) * v_s, axis=1))
+    gain_i = np.abs(np.sum(np.conj(w_final) * v_i, axis=1))
+    gain_i_q = np.abs(np.sum(np.conj(wq) * v_i, axis=1))
+    np.testing.assert_allclose(gain_t, 1.0, atol=1e-6)
+    assert np.mean(gain_i) < 0.6 * np.mean(gain_i_q)

@@ -162,3 +162,23 @@ def test_objective_measures():
     assert objective.si_sdr(cleaner, ref) > objective.si_sdr(noisy, ref) + 10
     assert objective.segmental_snr(cleaner, ref) > objective.segmental_snr(noisy, ref)
     assert objective.fw_segmental_snr(cleaner, ref) > objective.fw_segmental_snr(noisy, ref)
+
+
+def test_lefkimmiatis_parity_and_behavior():
+    rng = np.random.default_rng(11)
+    N, T, K = 4, 60, 33
+    X = rng.standard_normal((N, T, K)) + 1j * rng.standard_normal((N, T, K))
+    Gamma = np.broadcast_to(np.eye(N) * 1.0 + 0.3 * (1 - np.eye(N)), (K, N, N)).copy()
+    w = (rng.standard_normal((K, N)) + 1j * rng.standard_normal((K, N))) / N
+    H_g = gpf.lefkimmiatis_weights(X, Gamma, w)
+    H_j = np.asarray(
+        jpf.lefkimmiatis_weights(X.astype(np.complex64), Gamma.astype(np.float32),
+                                 w.astype(np.complex64))
+    )
+    assert H_g.shape == (T, K) and np.all(H_g >= 0.1 - 1e-9) and np.all(H_g <= 1.0 + 1e-9)
+    assert np.max(np.abs(H_g - H_j)) < 2e-3
+    # coherent (speech-like) input → gain near 1; incoherent noise → floored low
+    Xc = np.broadcast_to(X[:1], X.shape)
+    Hc = gpf.lefkimmiatis_weights(Xc, Gamma, w)
+    assert np.mean(Hc) > 0.9
+    assert np.mean(H_g) < np.mean(Hc)
