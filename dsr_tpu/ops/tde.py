@@ -139,3 +139,33 @@ def ls_position(tdoas, mics, pairs_i, pairs_j, x0, c: float = 343.0, iters: int 
         return x + dx
 
     return jax.lax.fori_loop(0, iters, body, x0)
+
+
+@jax.jit
+def sx_position(tdoas0: jnp.ndarray, mics: jnp.ndarray, c: float = 343.0) -> jnp.ndarray:
+    """Closed-form spherical-intersection (SX) source position.  Numerics
+    match `golden.tde.sx_position` (see there for the derivation); branch
+    selection is a masked `where` over the two quadratic roots so the
+    whole solver jits to a handful of small dense ops (no iteration —
+    unlike `ls_position` this needs no initial guess).
+
+    tdoas0: (N-1,) TDOAs of mics 1..N-1 relative to mic 0; mics: (N, 3).
+    """
+    m0 = mics[0]
+    M = mics[1:] - m0[None, :]
+    d = c * tdoas0
+    delta = 0.5 * (jnp.sum(M**2, axis=1) - d**2)
+    W = jnp.linalg.pinv(M)
+    a = W @ delta
+    b = W @ d
+    A = b @ b - 1.0
+    Bq = -2.0 * (a @ b)
+    Cq = a @ a
+    disc = jnp.sqrt(jnp.maximum(Bq * Bq - 4.0 * A * Cq, 0.0))
+    safe_A = jnp.where(jnp.abs(A) < 1e-9, 1.0, A)
+    quad = jnp.stack([(-Bq + disc) / (2.0 * safe_A), (-Bq - disc) / (2.0 * safe_A)])
+    lin = jnp.stack([Cq / jnp.maximum(-Bq, 1e-12)] * 2)
+    roots = jnp.maximum(jnp.where(jnp.abs(A) < 1e-9, lin, quad), 0.0)  # (2,)
+    xs = a[None, :] - roots[:, None] * b[None, :]                      # (2, 3)
+    res = jnp.abs(jnp.linalg.norm(xs, axis=1) - roots)
+    return xs[jnp.argmin(res)] + m0

@@ -140,3 +140,46 @@ def ls_position(
         if np.linalg.norm(dx) < 1e-6:
             break
     return x
+
+
+def sx_position(tdoas0: np.ndarray, mics: np.ndarray, c: float = 343.0) -> np.ndarray:
+    """Closed-form spherical-intersection (SX) source localisation
+    (Schau-Robinson / Smith-Abel; reference `btk/localization/` [K],
+    SURVEY.md §2.1 "spherical-intersection / least-squares position
+    solvers").
+
+    tdoas0: (N-1,) TDOAs of mics 1..N-1 relative to mic 0, i.e.
+    tdoas0[i-1] = (||x − m_i|| − ||x − m_0||) / c (the `expected_tdoas`
+    convention for pairs (0, i)).  mics: (N, 3).  Returns x (3,).
+
+    With mic 0 translated to the origin and range differences d = c·τ:
+        m_iᵀ x + d_i·Rs = (||m_i||² − d_i²)/2 =: δ_i,    Rs = ||x||
+    ⇒ x(Rs) = a − Rs·b with a = M⁺δ, b = M⁺d, and the spherical
+    constraint ||x(Rs)|| = Rs gives the quadratic
+        (bᵀb − 1)·Rs² − 2aᵀb·Rs + aᵀa = 0.
+    Of the real non-negative roots, the one whose solution best satisfies
+    ||x|| = Rs is returned.
+    """
+    m0 = mics[0]
+    M = mics[1:] - m0[None, :]                    # (P, 3)
+    d = c * np.asarray(tdoas0, dtype=float)       # (P,)
+    delta = 0.5 * (np.sum(M**2, axis=1) - d**2)
+    W = np.linalg.pinv(M)                         # (3, P)
+    a = W @ delta
+    b = W @ d
+    A = float(b @ b) - 1.0
+    Bq = -2.0 * float(a @ b)
+    Cq = float(a @ a)
+    if abs(A) < 1e-9:                             # degenerate → linear
+        roots = [Cq / max(-Bq, 1e-12)]
+    else:
+        disc = max(Bq * Bq - 4.0 * A * Cq, 0.0)
+        roots = [(-Bq + s * np.sqrt(disc)) / (2.0 * A) for s in (+1.0, -1.0)]
+    best, best_res = None, np.inf
+    for Rs in roots:
+        Rs = max(Rs, 0.0)
+        x = a - Rs * b
+        res = abs(np.linalg.norm(x) - Rs)
+        if res < best_res:
+            best, best_res = x, res
+    return best + m0

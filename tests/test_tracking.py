@@ -2,6 +2,7 @@
 on simulated moving/static sources (config 3 front end)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from golden import room as groom
@@ -116,3 +117,30 @@ def test_tracking_to_steering_closes_loop():
         )
     )
     assert np.max(np.abs(taus_true - taus_j)) < 1e-7
+
+
+def test_sx_position_closed_form():
+    """Spherical-intersection localiser: exact recovery from clean TDOAs,
+    jax == golden, and graceful degradation under TDOA noise."""
+    rng = np.random.default_rng(3)
+    mics = np.array([
+        [0.0, 0.0, 0.0], [0.3, 0.0, 0.0], [0.0, 0.3, 0.0], [0.3, 0.3, 0.0],
+        [0.0, 0.0, 0.25], [0.3, 0.0, 0.25], [0.0, 0.3, 0.25], [0.3, 0.3, 0.25],
+    ])
+    pos = np.array([1.2, 2.1, 0.7])
+    pairs = [(0, i) for i in range(1, len(mics))]
+    taus = gtde.expected_tdoas(pos, mics, pairs, 343.0)
+    x_g = gtde.sx_position(taus, mics)
+    x_j = np.asarray(jtde.sx_position(jnp.asarray(taus, jnp.float32),
+                                      jnp.asarray(mics, jnp.float32)))
+    assert np.linalg.norm(x_g - pos) < 1e-6
+    assert np.linalg.norm(x_j - pos) < 5e-2      # f32 pinv
+    assert np.linalg.norm(x_j - x_g) < 5e-2
+    # under TDOA noise the small-aperture range is ill-conditioned (as for
+    # any TDOA solver) but the BEARING stays accurate — that is what the
+    # tracker consumes (steering delays).  1 µs TDOA noise → < 1° bearing.
+    ctr = mics.mean(0)
+    x_n = gtde.sx_position(taus + rng.normal(0, 1e-6, len(taus)), mics)
+    u = (x_n - ctr) / np.linalg.norm(x_n - ctr)
+    v = (pos - ctr) / np.linalg.norm(pos - ctr)
+    assert np.degrees(np.arccos(np.clip(u @ v, -1, 1))) < 1.0
