@@ -76,6 +76,24 @@ def _estep(params, feats, lengths, ids, logA, init, final, num_states):
     return acc, jnp.sum(jnp.where(jnp.isfinite(scores), scores, 0.0))
 
 
+@functools.partial(jax.jit, static_argnames=("num_states",))
+def _estep_bw(params, feats, lengths, ids, logA, init, final, num_states):
+    """One batched Baum-Welch (soft forward-backward) E-step.
+
+    Same contract as `_estep` but with exact state posteriors γ from
+    `ml.forward_backward` instead of a hard Viterbi path — the reference's
+    full ML accumulation mode (SURVEY.md §2.2 train: "ML (Baum-Welch)").
+    """
+    ll = jgmm.loglik(params, feats)                                   # (U, T, S)
+    ll_graph = jnp.take_along_axis(ll, ids[:, None, :], axis=2)       # (U, T, L)
+    gamma_l, totals = jax.vmap(jvit.forward_backward)(ll_graph, logA, init, final, lengths)
+    onehot = jax.nn.one_hot(ids, num_states, dtype=jnp.float32)       # (U, L, S)
+    gamma = jnp.einsum("utl,uls->uts", gamma_l, onehot)               # scatter to global states
+    acc = ml.zero_accum(num_states, params.means.shape[1], params.means.shape[2])
+    acc = ml.accumulate(params, feats, gamma, acc)
+    return acc, jnp.sum(jnp.where(jnp.isfinite(totals), totals, 0.0))
+
+
 def train(
     task: smallvocab.SmallVocabTask,
     feats_list: list[np.ndarray],
@@ -84,8 +102,9 @@ def train(
     iters: int = 4,
     seed: int = 0,
     verbose: bool = False,
+    estep: str = "viterbi",
 ) -> jgmm.GmmParams:
-    """Flat-start + `iters` rounds of batched Viterbi-EM."""
+    """Flat-start + `iters` rounds of batched EM (`estep`: viterbi | bw)."""
     from golden import gmm_hmm as ggh
 
     rng = np.random.default_rng(seed)
@@ -94,13 +113,14 @@ def train(
     params = jgmm.from_golden(g0)
     feats, lengths = pad_corpus(feats_list)
     ids, A, init, final = pad_align_graphs(task, transcripts)
+    estep_fn = {"viterbi": _estep, "bw": _estep_bw}[estep]
     for it in range(iters):
-        acc, total = _estep(
+        acc, total = estep_fn(
             params, feats, lengths, ids, A, init, final, task.num_states
         )
         params = ml.mstep(acc)
         if verbose:
-            print(f"iter {it}: total Viterbi loglik {float(total):.1f}")
+            print(f"iter {it}: total {estep} loglik {float(total):.1f}")
     return params
 
 

@@ -130,3 +130,51 @@ def test_e2e_beamformed_decode_wer_and_golden_parity(trained_model):
         path, _ = ggh.viterbi_dense(ll, A_d, init_d, final_d)
         sc_g.add(ref, task.path_to_words(path))
     assert sc_g.wer == pytest.approx(sc.wer, abs=1e-9), f"golden {sc_g} vs jax {sc}"
+
+
+def test_baum_welch_estep_matches_golden_and_trains():
+    """trainer._estep_bw: soft-γ accumulators == golden forward-backward
+    accumulate, and full BW training reaches 0 WER on the clean corpus."""
+    rng = np.random.default_rng(7)
+    task = smallvocab.SmallVocabTask(gcorpus.VOCAB[:3])
+    corpus = gcorpus.make_corpus(8, min_words=1, max_words=2, seed=7)
+    feats_list, transcripts = [], []
+    for ws, x in corpus:
+        ws = [w if w in task.vocab else task.vocab[0] for w in ws]
+        feats_list.append(_mfcc_feats(x))
+        transcripts.append(ws)
+
+    state_seqs = [task.align_graph(ws)[0] for ws in transcripts]
+    g0 = ggh.init_gmm_from_feats(feats_list, state_seqs, task.num_states, 2, rng)
+    params = jgmm.from_golden(g0)
+    feats, lengths = trainer.pad_corpus(feats_list)
+    ids, A, init, final = trainer.pad_align_graphs(task, transcripts)
+    acc_j, total_j = trainer._estep_bw(
+        params, feats, lengths, ids, A, init, final, task.num_states
+    )
+
+    # golden soft E-step, utterance by utterance
+    acc_g = ggh.GmmAccumulator(task.num_states, 2, feats.shape[-1])
+    total_g = 0.0
+    for u, f in enumerate(feats_list):
+        ids_u, A_u, init_u, final_u = task.align_graph(transcripts[u])
+        ll = g0.loglik(f)[:, ids_u]
+        gam, tot = ggh.forward_backward(ll, A_u, init_u, final_u)
+        gam_full = np.zeros((len(f), task.num_states))
+        for l, s in enumerate(ids_u):
+            gam_full[:, s] += gam[:, l]
+        ggh.accumulate(g0, f, gam_full, acc_g)
+        total_g += tot
+    # f32 vs f64 log-domain γ noise is ~1e-3; compare accumulators relatively
+    assert abs(total_g - float(total_j)) / abs(total_g) < 1e-4
+    assert np.max(np.abs(acc_g.occ - np.asarray(acc_j.occ))) < 0.1
+    rel = np.abs(acc_g.sx - np.asarray(acc_j.sx)) / (np.abs(acc_g.sx) + 1.0)
+    assert rel.max() < 2e-2
+
+    # end-to-end: Baum-Welch training decodes the training set exactly
+    params_bw = trainer.train(task, feats_list, transcripts, iters=8, estep="bw")
+    hyp = trainer.decode(task, params_bw, feats_list)
+    scorer = WerScorer()
+    for h, ref in zip(hyp, transcripts):
+        scorer.add(ref, h)
+    assert scorer.wer == 0.0

@@ -144,3 +144,44 @@ def test_sx_position_closed_form():
     u = (x_n - ctr) / np.linalg.norm(x_n - ctr)
     v = (pos - ctr) / np.linalg.norm(pos - ctr)
     assert np.degrees(np.arccos(np.clip(u @ v, -1, 1))) < 1.0
+
+
+def test_sqrt_iekf_matches_full_covariance_iekf():
+    """Square-root (QR/Kailath-array) propagation ≡ Joseph-form IEKF."""
+    rng = np.random.default_rng(5)
+    T = 30
+    path = np.stack(
+        [
+            0.4 + 0.6 * np.linspace(0, 1, T),
+            1.2 + 0.2 * np.cos(np.linspace(0, 2, T)),
+            np.zeros(T),
+        ],
+        axis=1,
+    )
+    obs = np.stack(
+        [gtde.expected_tdoas(p, POS, PAIRS, 343.0) for p in path]
+    ) + rng.standard_normal((T, len(PAIRS))) * 2e-6
+    x0 = np.array([0.0, 1.0, 0.0])
+    P0 = np.eye(3) * 0.5
+    q, r = 1e-3, (5e-6) ** 2
+
+    # golden: full-covariance vs square-root trackers agree step-by-step
+    trk_full = gtrack.IekfTracker(x0, P0, q, r, POS, PAIRS)
+    trk_sqrt = gtrack.SqrtIekfTracker(x0, np.linalg.cholesky(P0), q, r, POS, PAIRS)
+    est_full = np.stack([trk_full.step(o) for o in obs])
+    est_sqrt = np.stack([trk_sqrt.step(o) for o in obs])
+    assert np.max(np.abs(est_full - est_sqrt)) < 1e-8
+    # the factor really is chol(P): S Sᵀ == P of the full filter
+    assert np.max(np.abs(trk_sqrt.S @ trk_sqrt.S.T - trk_full.P)) < 1e-10
+
+    # jax square-root scan: parity with golden (f32 vs f64)
+    est_j = np.asarray(
+        jtrack.track_sqrt(
+            obs.astype(np.float32), x0.astype(np.float32),
+            np.linalg.cholesky(P0).astype(np.float32),
+            POS.astype(np.float32), PI, PJ, q, r,
+        )
+    )
+    assert np.max(np.abs(est_sqrt - est_j)) < 5e-3
+    # and it tracks
+    assert np.linalg.norm(est_j[-10:] - path[-10:], axis=1).mean() < 0.05
