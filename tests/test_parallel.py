@@ -96,3 +96,65 @@ def test_sharded_decode_matches_single(system):
         hyp_1 = wd.words_from_olabels(np.asarray(olabs_1), task.words)
         assert hyp_sh == hyp_1
         assert abs(float(scores_sh[i]) - float(score_1)) < 1e-2
+
+
+def test_bw_estep_psum_matches_full_batch():
+    """Data-parallel Baum-Welch: per-shard accumulators + psum over the
+    'data' axis == the single-device full-batch accumulator (the TPU-native
+    form of the reference's grid-job accumulator-file merge, SURVEY §3.4)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from golden import gmm_hmm as ggh
+    from dsr_tpu.asr import smallvocab
+    from dsr_tpu.asr.decoder import viterbi as jvit
+    from dsr_tpu.asr.train import ml
+
+    rng = np.random.default_rng(11)
+    task = smallvocab.SmallVocabTask(gcorpus.VOCAB[:3])
+    corpus = gcorpus.make_corpus(8, min_words=1, max_words=2, seed=11)
+    feats_list, transcripts = [], []
+    for ws, x in corpus:
+        ws = [w if w in task.vocab else task.vocab[0] for w in ws]
+        feats_list.append(_feats(x))
+        transcripts.append(ws)
+    state_seqs = [task.align_graph(ws)[0] for ws in transcripts]
+    g0 = ggh.init_gmm_from_feats(feats_list, state_seqs, task.num_states, 2, rng)
+    params = jgmm.from_golden(g0)
+    feats, lengths = trainer.pad_corpus(feats_list)
+    ids, A, init, final = trainer.pad_align_graphs(task, transcripts)
+    S = task.num_states
+
+    # single-device full batch
+    acc_full, _ = trainer._estep_bw(
+        params, feats, lengths, jnp.asarray(ids), jnp.asarray(A),
+        jnp.asarray(init), jnp.asarray(final), S,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    dsh = P("data")
+
+    def shard_estep(feats, lengths, ids, logA, init, final):
+        ll = jgmm.loglik(params, feats)
+        ll_graph = jnp.take_along_axis(ll, ids[:, None, :], axis=2)
+        gamma_l, _ = jax.vmap(jvit.forward_backward)(ll_graph, logA, init, final, lengths)
+        onehot = jax.nn.one_hot(ids, S, dtype=jnp.float32)
+        gamma = jnp.einsum("utl,uls->uts", gamma_l, onehot)
+        acc = ml.zero_accum(S, params.means.shape[1], params.means.shape[2])
+        acc = ml.accumulate(params, feats, gamma, acc)
+        return ml.psum_accum(acc, "data")  # the cross-job merge
+
+    run = shard_map(
+        shard_estep, mesh=mesh,
+        in_specs=(dsh, dsh, dsh, dsh, dsh, dsh),
+        out_specs=P(),  # replicated after psum
+    )
+    with mesh:
+        acc_dp = jax.jit(run)(
+            jnp.asarray(feats), jnp.asarray(lengths), jnp.asarray(ids),
+            jnp.asarray(A), jnp.asarray(init), jnp.asarray(final),
+        )
+    # f32 reduction-order noise between the sharded psum and the full batch
+    for a, b in zip(acc_full, acc_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2)
