@@ -147,3 +147,45 @@ class SampleStream:
 
     def __exit__(self, *a):
         self.close()
+
+
+class BlockSizeConverter:
+    """Re-chunk a stream of sample blocks to a fixed output block size.
+
+    Capability parity with the reference's `BlockSizeConversion` stage
+    (`btk/feature/` [K], SURVEY.md §2.1): upstream produces blocks of one
+    size (e.g. the native SampleStream's read granularity), downstream
+    stages want another (e.g. the filterbank's D-sample hop).  Works on
+    (..., S) blocks; leading axes (channels) must be constant.
+
+    >>> conv = BlockSizeConverter(512)
+    >>> for blk in stream: 
+    ...     for out in conv.push(blk): ...   # yields (..., 512) blocks
+    >>> tail = conv.flush()                  # remainder, zero-padded
+    """
+
+    def __init__(self, out_size: int):
+        if out_size <= 0:
+            raise ValueError(f"out_size must be positive; got {out_size}")
+        self.out_size = int(out_size)
+        self._buf: np.ndarray | None = None
+
+    def push(self, block: np.ndarray):
+        block = np.asarray(block)
+        buf = block if self._buf is None else np.concatenate(
+            [self._buf, block], axis=-1
+        )
+        n = buf.shape[-1] // self.out_size
+        for i in range(n):
+            yield buf[..., i * self.out_size : (i + 1) * self.out_size]
+        self._buf = buf[..., n * self.out_size :]
+
+    def flush(self, pad: bool = True) -> np.ndarray | None:
+        """Remaining samples as one final block (zero-padded if `pad`)."""
+        buf, self._buf = self._buf, None
+        if buf is None or buf.shape[-1] == 0:
+            return None
+        if pad and buf.shape[-1] < self.out_size:
+            width = [(0, 0)] * (buf.ndim - 1) + [(0, self.out_size - buf.shape[-1])]
+            buf = np.pad(buf, width)
+        return buf

@@ -42,3 +42,27 @@ def test_sample_stream_reblocks(tmp_path):
     np.testing.assert_allclose(y, x, atol=0)
     # 11 blocks of 1000 cover 10240 frames (last zero-padded)
     assert len(blocks) == 11
+
+
+def test_block_size_converter_rechunks_exactly():
+    from dsr_tpu.utils.audio import BlockSizeConverter
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 10_000)).astype(np.float32)
+    conv = BlockSizeConverter(512)
+    outs = []
+    # push irregular input block sizes: 100, 700, 1300, ...
+    i, sizes = 0, [100, 700, 1300, 4096, 37, 3767]
+    for s in sizes:
+        outs.extend(conv.push(x[:, i : i + s]))
+        i += s
+    assert i == x.shape[1]
+    tail = conv.flush()
+    full = np.concatenate(outs + ([tail] if tail is not None else []), axis=-1)
+    assert all(o.shape == (2, 512) for o in outs)
+    np.testing.assert_array_equal(full[:, : x.shape[1]], x)
+    assert np.all(full[:, x.shape[1]:] == 0.0)
+    # bad config rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        BlockSizeConverter(0)
