@@ -113,6 +113,8 @@ def train(
     params = jgmm.from_golden(g0)
     feats, lengths = pad_corpus(feats_list)
     ids, A, init, final = pad_align_graphs(task, transcripts)
+    if estep not in ("viterbi", "bw"):
+        raise ValueError(f"estep must be 'viterbi' or 'bw'; got {estep!r}")
     estep_fn = {"viterbi": _estep, "bw": _estep_bw}[estep]
     for it in range(iters):
         acc, total = estep_fn(

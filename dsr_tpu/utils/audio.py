@@ -159,8 +159,8 @@ class BlockSizeConverter:
     (..., S) blocks; leading axes (channels) must be constant.
 
     >>> conv = BlockSizeConverter(512)
-    >>> for blk in stream: 
-    ...     for out in conv.push(blk): ...   # yields (..., 512) blocks
+    >>> for blk in stream:
+    ...     for out in conv.push(blk): ...   # list of (..., 512) blocks
     >>> tail = conv.flush()                  # remainder, zero-padded
     """
 
@@ -170,15 +170,21 @@ class BlockSizeConverter:
         self.out_size = int(out_size)
         self._buf: np.ndarray | None = None
 
-    def push(self, block: np.ndarray):
+    def push(self, block: np.ndarray) -> list[np.ndarray]:
+        """Eager re-chunk: returns the complete output blocks and retains
+        the tail.  Output blocks (and the retained tail) are copies — the
+        caller may reuse/overwrite its input buffer between pushes."""
         block = np.asarray(block)
         buf = block if self._buf is None else np.concatenate(
             [self._buf, block], axis=-1
         )
         n = buf.shape[-1] // self.out_size
-        for i in range(n):
-            yield buf[..., i * self.out_size : (i + 1) * self.out_size]
-        self._buf = buf[..., n * self.out_size :]
+        out = [
+            buf[..., i * self.out_size : (i + 1) * self.out_size].copy()
+            for i in range(n)
+        ]
+        self._buf = buf[..., n * self.out_size :].copy()
+        return out
 
     def flush(self, pad: bool = True) -> np.ndarray | None:
         """Remaining samples as one final block (zero-padded if `pad`)."""

@@ -23,3 +23,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
+
+# NaN-guard test mode (SURVEY.md §5 sanitizer analogue): DSR_DEBUG_NANS=1
+# flips jax_debug_nans for the WHOLE suite; the `debug_nans` fixture scopes
+# it to individual tests (tests/test_nan_guard.py runs the numeric core
+# paths under it every run).
+if os.environ.get("DSR_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def debug_nans():
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)

@@ -66,3 +66,28 @@ def test_block_size_converter_rechunks_exactly():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         BlockSizeConverter(0)
+
+
+def test_block_size_converter_eager_and_reuse_safe():
+    """push() must consume its input immediately (no lazy generator) and the
+    outputs must survive the caller reusing its read buffer (the typical
+    streaming pattern)."""
+    from dsr_tpu.utils.audio import BlockSizeConverter
+
+    conv = BlockSizeConverter(4)
+    buf = np.arange(6, dtype=np.float32)
+    first = conv.push(buf)          # NOT consumed element-wise — must be eager
+    assert isinstance(first, list) and len(first) == 1
+    expect0 = first[0].copy()
+    buf[:] = -1.0                   # caller reuses its read buffer
+    np.testing.assert_array_equal(first[0], expect0)
+    buf2 = np.arange(6, 12, dtype=np.float32)
+    second = conv.push(buf2)
+    buf2[:] = -2.0
+    tail = conv.flush(pad=False)
+    got = np.concatenate(first + second + ([tail] if tail is not None else []))
+    np.testing.assert_array_equal(got, np.arange(12, dtype=np.float32))
+    # dropping the returned list (caller ignores outputs) must still advance
+    conv2 = BlockSizeConverter(2)
+    conv2.push(np.zeros(3, np.float32))
+    assert conv2.flush(pad=False).shape == (1,)
