@@ -113,12 +113,13 @@ class Lattice:
 
 def from_topk(tok_states, tok_arcs, tok_scores, token_graph) -> Lattice:
     """Build a Lattice from topk_decoder per-frame arrays (device or host)."""
+    S, A_max = token_graph.num_states, token_graph.a_max
     return Lattice(
         np.asarray(tok_states),
         np.asarray(tok_arcs),
         np.asarray(tok_scores),
         np.asarray(token_graph.olabel).reshape(-1),
-        np.asarray(token_graph.src_of_arc),
+        np.repeat(np.arange(S, dtype=np.int32), A_max),  # src = arc // A_max
         np.asarray(token_graph.weight).reshape(-1),
         np.asarray(token_graph.final_weight),
     )

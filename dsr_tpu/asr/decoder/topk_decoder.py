@@ -41,7 +41,6 @@ class TokenGraph(NamedTuple):
     olabel: jnp.ndarray   # (S, A_max) int32
     weight: jnp.ndarray   # (S, A_max) f32 log-prob (NEG where invalid)
     dst: jnp.ndarray      # (S, A_max) int32
-    src_of_arc: jnp.ndarray  # (S*A_max,) int32 flat arc → src state
     start: jnp.ndarray
     final_weight: jnp.ndarray  # (S,) f32 log-prob (NEG non-final)
     num_states: int
@@ -50,33 +49,33 @@ class TokenGraph(NamedTuple):
 
 def build_token_graph(g: PackedGraph) -> TokenGraph:
     S = g.num_states
-    counts = np.zeros(S, np.int64)
-    np.add.at(counts, g.src, 1)
+    A = len(g.src)
+    counts = np.bincount(g.src, minlength=S).astype(np.int64)
     A_max = max(1, int(counts.max()))
+    # vectorised per-state slot assignment: stable-sort arcs by src, then
+    # slot = rank within the run (LVCSR graphs have 10^5-10^6 arcs)
+    order = np.argsort(g.src, kind="stable")
+    run_start = np.cumsum(counts) - counts                 # (S,)
+    rows = g.src[order].astype(np.int64)
+    slots = np.arange(A, dtype=np.int64) - run_start[rows]
     pdf = np.zeros((S, A_max), np.int32)
     ola = np.zeros((S, A_max), np.int32)
     wgt = np.full((S, A_max), NEG, np.float32)
     dst = np.zeros((S, A_max), np.int32)
-    slot = np.zeros(S, np.int64)
-    for a in range(len(g.src)):
-        s = g.src[a]
-        j = slot[s]
-        pdf[s, j] = g.pdf[a]
-        ola[s, j] = g.olabel[a]
-        wgt[s, j] = -g.weight[a]
-        dst[s, j] = g.dst[a]
-        slot[s] += 1
-    src_of_arc = np.repeat(np.arange(S, dtype=np.int32), A_max)
+    pdf[rows, slots] = g.pdf[order]
+    ola[rows, slots] = g.olabel[order]
+    wgt[rows, slots] = -g.weight[order]
+    dst[rows, slots] = g.dst[order]
     fin = np.where(np.isfinite(g.final_weight), -g.final_weight, NEG).astype(np.float32)
     return TokenGraph(
         jnp.asarray(pdf), jnp.asarray(ola), jnp.asarray(wgt), jnp.asarray(dst),
-        jnp.asarray(src_of_arc), jnp.asarray(np.int32(g.start)), jnp.asarray(fin),
+        jnp.asarray(np.int32(g.start)), jnp.asarray(fin),
         S, A_max,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap"))
-def _decode_impl(loglik, length, pdf, olabel, weight, dst, src_of_arc, start, final_w,
+def _decode_impl(loglik, length, pdf, olabel, weight, dst, start, final_w,
                  *, num_states, a_max, kcap, beam):
     T = loglik.shape[0]
     S = num_states
@@ -139,6 +138,10 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, src_of_arc, start, fi
         step, (states0, scores0), (ts, loglik)
     )
     total = scores_f + final_w[states_f]
+    # final fallback: if no surviving token reaches a final state (e.g. the
+    # utterance was cut mid-word), take the best token without the final
+    # weight — the reference decoders' GetBestPath behaviour.
+    total = jnp.where(jnp.max(total) > NEG / 2, total, scores_f)
     best_slot = jnp.argmax(total)
     best_state = states_f[best_slot]
     best_score = total[best_slot]
@@ -148,7 +151,8 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, src_of_arc, start, fi
         slot = jnp.argmax(sts == state)
         arc = arcs[slot]
         valid = (t < length) & (arc >= 0)
-        prev = jnp.where(valid, src_of_arc[jnp.maximum(arc, 0)], state)
+        # flat arc id = state*a_max + slot, so src state = arc // a_max
+        prev = jnp.where(valid, jnp.maximum(arc, 0) // a_max, state)
         olab = jnp.where(
             valid,
             olabel.reshape(-1)[jnp.maximum(arc, 0)],
@@ -176,7 +180,7 @@ def decode_with_tokens(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
     length = jnp.asarray(T if length is None else length, jnp.int32)
     return _decode_impl(
         loglik, length, graph.pdf, graph.olabel, graph.weight, graph.dst,
-        graph.src_of_arc, graph.start, graph.final_weight,
+        graph.start, graph.final_weight,
         num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
     )
 
@@ -187,7 +191,7 @@ def decode_batch(graph: TokenGraph, loglik: jnp.ndarray, lengths, kcap: int = 25
     f = jax.vmap(
         lambda ll, ln: _decode_impl(
             ll, ln, graph.pdf, graph.olabel, graph.weight, graph.dst,
-            graph.src_of_arc, graph.start, graph.final_weight,
+            graph.start, graph.final_weight,
             num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
         )
     )

@@ -44,13 +44,27 @@ def build_lexicon_fst(
     words: SymbolTable,
     sil_phone: str | None = "sil",
     sil_prob: float = 0.5,
+    olabel_at: str = "start",
 ) -> tuple[Wfst, int]:
     """L: phone strings → words, with optional inter-word silence and
     auto-inserted disambiguation symbols for homophones/prefixes.
 
     Returns (L, num_disambig).  Disambig phone ids are P+1 .. P+num_disambig
     (they pass through H as epsilon-like and are stripped before packing).
+
+    olabel_at: "start" (default) emits the word id on the FIRST phone arc —
+    the reference convention, earliest word identity.  "end" emits it on the
+    LAST phone arc and skips disambiguation entirely: under pair-encoded
+    (ilabel, olabel) determinization, late labels let det share pronunciation
+    prefixes ACROSS words, bounding every state's out-degree by the phone
+    inventory instead of the vocabulary — the property that keeps the packed
+    LVCSR decoding graph's per-state arc rows narrow (see asr/lvcsr.py).
+    Homophones stay distinct via their distinct olabels (no disambig needed).
     """
+    if olabel_at == "end":
+        return _build_lexicon_fst_end(lexicon, phones, words, sil_phone, sil_prob), 0
+    if olabel_at != "start":
+        raise ValueError(f"olabel_at must be 'start' or 'end'; got {olabel_at!r}")
     # --- assign disambig symbols (Kaldi add_lex_disambig logic, simplified)
     prons = list(lexicon.items())
     counts = defaultdict(int)
@@ -101,6 +115,109 @@ def build_lexicon_fst(
     if sil_phone:
         L.add_arc(loop, phones[sil_phone], EPS, 0.0, loop)
     return L, max_disambig
+
+
+def _build_lexicon_fst_end(
+    lexicon: dict[str, tuple[str, ...]],
+    phones: SymbolTable,
+    words: SymbolTable,
+    sil_phone: str | None,
+    sil_prob: float,
+) -> Wfst:
+    """Late-label lexicon (see build_lexicon_fst olabel_at="end")."""
+    L = Wfst()
+    loop = L.add_state()
+    L.set_start(loop)
+    L.set_final(loop, 0.0)
+    sil_cost = -math.log(sil_prob) if sil_phone else 0.0
+    nosil_cost = -math.log(1.0 - sil_prob) if sil_phone else 0.0
+    for w, pron in lexicon.items():
+        cur = loop
+        syms = [phones[p] for p in pron]
+        for i, ph in enumerate(syms):
+            last = i + 1 == len(syms)
+            olab = words[w] if last else EPS
+            nxt = L.add_state()
+            L.add_arc(cur, ph, olab, 0.0, nxt)
+            cur = nxt
+        L.add_arc(cur, EPS, EPS, nosil_cost, loop)
+        if sil_phone:
+            L.add_arc(cur, phones[sil_phone], EPS, sil_cost, loop)
+    if sil_phone:
+        L.add_arc(loop, phones[sil_phone], EPS, 0.0, loop)
+    return L
+
+
+def build_lg_fst(
+    lexicon: dict[str, tuple[str, ...]],
+    phones: SymbolTable,
+    words: SymbolTable,
+    G: Wfst,
+    sil_phone: str | None = "sil",
+    sil_prob: float = 0.5,
+) -> Wfst:
+    """Direct LG construction (late word labels), the LVCSR-scale path.
+
+    Generic composition of a late-label L with G explores the full lexicon
+    trie under EVERY G state and lets connect() prune the dead ends —
+    O(|trie|·|G|) work for an O(output)-sized result (measured: 300 s for a
+    2k-word trigram vs ~5 s here).  This builder materialises the reachable
+    structure directly: per G state, a prefix trie of exactly the words on
+    its outgoing arcs, with the word olabel + LM weight on the LAST phone
+    arc and optional post-word silence.  G's eps (back-off) arcs and final
+    weights carry over verbatim; the result equals connect(compose(L, G))
+    up to state numbering and is already input-deterministic per (il, ol)
+    pair at every trie node.
+    """
+    LG = Wfst()
+    # one trie root per G state; roots numbered first so G arcs map directly
+    roots = [LG.add_state() for _ in range(G.num_states)]
+    LG.set_start(roots[G.start])
+    for g, fw in G.finals.items():
+        LG.set_final(roots[g], fw)
+    sil_cost = -math.log(sil_prob) if sil_phone else 0.0
+    nosil_cost = -math.log(1.0 - sil_prob) if sil_phone else 0.0
+    sil_id = phones[sil_phone] if sil_phone else None
+
+    def post_state(g_dst: int) -> int:
+        """Shared per-destination post-word state: optional silence, then
+        the destination root."""
+        key = ("post", g_dst)
+        s = post_cache.get(key)
+        if s is None:
+            s = LG.add_state()
+            post_cache[key] = s
+            LG.add_arc(s, EPS, EPS, nosil_cost, roots[g_dst])
+            if sil_id is not None:
+                LG.add_arc(s, sil_id, EPS, sil_cost, roots[g_dst])
+        return s
+
+    post_cache: dict = {}
+    for g in range(G.num_states):
+        if sil_id is not None:  # leading/inter-word silence self-loop
+            LG.add_arc(roots[g], sil_id, EPS, 0.0, roots[g])
+        trie: dict[tuple[int, ...], int] = {(): roots[g]}
+        for a in G.arcs[g]:
+            if a.ilabel == EPS:  # back-off arc: eps between roots
+                LG.add_arc(roots[g], EPS, EPS, a.weight, roots[a.nextstate])
+                continue
+            word = words.name(a.ilabel)
+            pron = lexicon.get(word)
+            if pron is None:
+                continue  # OOV word in G: unreachable
+            syms = tuple(phones[p] for p in pron)
+            cur = roots[g]
+            for i in range(len(syms) - 1):
+                prefix = syms[: i + 1]
+                nxt = trie.get(prefix)
+                if nxt is None:
+                    nxt = LG.add_state()
+                    trie[prefix] = nxt
+                    LG.add_arc(cur, syms[i], EPS, 0.0, nxt)
+                cur = nxt
+            # last phone: emit word + LM cost, then optional silence
+            LG.add_arc(cur, syms[-1], a.olabel, a.weight, post_state(a.nextstate))
+    return LG
 
 
 def build_unigram_g(

@@ -100,6 +100,71 @@ def arpa_to_fst(text: str, words: SymbolTable, bos="<s>", eos="</s>",
     return G.connect()
 
 
+def train_arpa_ngram(
+    transcripts: list[list[str]], vocab: list[str], order: int = 3,
+    discount: float = 0.5,
+) -> str:
+    """Absolute-discount back-off n-gram → ARPA text (reference `asr/lm/`
+    consumed externally-trained ARPA files; this writer generates synthetic
+    ones at LVCSR scale so the reader/G-builder can be exercised without a
+    corpus in the environment).
+
+    Simple (non-interpolated) absolute discounting: p(w|h) = (c(hw)-D)/c(h)
+    at every order, back-off weight bow(h) = log10(D·N1+(h·)/c(h)) for any
+    history h that continues.  Not Kneser-Ney-exact — numerically sensible
+    and properly structured for `arpa_to_fst`.
+    """
+    counts: list[dict] = [defaultdict(int) for _ in range(order + 1)]
+    for ws in transcripts:
+        seq = ["<s>"] + list(ws) + ["</s>"]
+        for o in range(1, order + 1):
+            for i in range(len(seq) - o + 1):
+                g = tuple(seq[i : i + o])
+                if o == 1 and g == ("<s>",):
+                    continue
+                counts[o][g] += 1
+    vocab_all = sorted(set(vocab) | {"</s>"})
+    total = sum(counts[1].values())
+    # context stats per history (for discounted probs and bows)
+    ctx_count: dict[tuple, int] = defaultdict(int)
+    ctx_types: dict[tuple, int] = defaultdict(int)
+    for o in range(2, order + 1):
+        for g, c in counts[o].items():
+            ctx_count[g[:-1]] += c
+            ctx_types[g[:-1]] += 1
+
+    def bow10(hist: tuple) -> float | None:
+        if ctx_types.get(hist):
+            return math.log10(discount * ctx_types[hist] / ctx_count[hist])
+        return None
+
+    lines = ["\\data\\"]
+    lines.append(f"ngram 1={len(vocab_all) + 1}")
+    for o in range(2, order + 1):
+        lines.append(f"ngram {o}={len(counts[o])}")
+    lines.append("")
+    lines.append("\\1-grams:")
+    b = bow10(("<s>",))
+    lines.append(f"-99\t<s>\t{b if b is not None else 0.0:.6f}")
+    for w in vocab_all:
+        p = max(counts[1].get((w,), 0) - discount, 0.25) / total
+        b = bow10((w,))
+        tail = f"\t{b:.6f}" if b is not None else ""
+        lines.append(f"{math.log10(p):.6f}\t{w}{tail}")
+    for o in range(2, order + 1):
+        lines.append("")
+        lines.append(f"\\{o}-grams:")
+        for g in sorted(counts[o]):
+            c = counts[o][g]
+            p = max(c - discount, 1e-4) / ctx_count[g[:-1]]
+            b = bow10(g) if o < order else None
+            tail = f"\t{b:.6f}" if b is not None else ""
+            lines.append(f"{math.log10(p):.6f}\t{' '.join(g)}{tail}")
+    lines.append("")
+    lines.append("\\end\\")
+    return "\n".join(lines)
+
+
 def train_arpa_bigram(
     transcripts: list[list[str]], vocab: list[str], discount: float = 0.5
 ) -> str:

@@ -62,6 +62,10 @@ def _load():
     lib.dsr_fst_rmepsilon.argtypes = [ctypes.c_void_p]
     lib.dsr_fst_connect.restype = ctypes.c_void_p
     lib.dsr_fst_connect.argtypes = [ctypes.c_void_p]
+    lib.dsr_fst_arcsort.restype = None
+    lib.dsr_fst_arcsort.argtypes = [ctypes.c_void_p]
+    lib.dsr_fst_max_outdeg.restype = ctypes.c_int64
+    lib.dsr_fst_max_outdeg.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -177,3 +181,117 @@ def compose(a: Wfst, b: Wfst) -> Wfst:
         return _from_handle(lib, rh)
     finally:
         lib.dsr_fst_free(rh)
+
+
+class NativeFst:
+    """Owning handle to a C++ Fst — ops chain handle→handle, so LVCSR-scale
+    build pipelines (compose → determinize → compose → rmeps → connect)
+    never round-trip through Python `Wfst` objects (O(arcs) Python loops).
+    Only the final `to_csr()`/`to_wfst()` copies arrays out."""
+
+    def __init__(self, handle, lib):
+        if not handle:
+            raise RuntimeError("native op returned null handle")
+        self._h = handle
+        self._lib = lib
+
+    # ------------------------------------------------------------ lifecycle
+    def __del__(self):
+        self.free()
+
+    def free(self):
+        if getattr(self, "_h", None):
+            self._lib.dsr_fst_free(self._h)
+            self._h = None
+
+    # ---------------------------------------------------------- constructors
+    @classmethod
+    def from_wfst(cls, f: Wfst, sort_ilabel: bool = False) -> "NativeFst":
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        return cls(_to_handle(lib, f, sort_ilabel), lib)
+
+    @classmethod
+    def from_csr(cls, off, il, ol, w, nxt, start: int, fin) -> "NativeFst":
+        """Create from CSR arrays directly (vectorised builders skip Python
+        `Wfst` objects entirely).  off: (S+1,) int64; il/ol/nxt: (A,) int32;
+        w: (A,) f32; fin: (S,) f32 (+inf = non-final)."""
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        off = np.ascontiguousarray(off, np.int64)
+        il = np.ascontiguousarray(il, np.int32)
+        ol = np.ascontiguousarray(ol, np.int32)
+        w = np.ascontiguousarray(w, np.float32)
+        nxt = np.ascontiguousarray(nxt, np.int32)
+        fin = np.ascontiguousarray(fin, np.float32)
+        S = len(off) - 1
+        h = lib.dsr_fst_create(
+            S, len(il), _ptr(off, ctypes.c_int64), _ptr(il, ctypes.c_int32),
+            _ptr(ol, ctypes.c_int32), _ptr(w, ctypes.c_float),
+            _ptr(nxt, ctypes.c_int32), start, _ptr(fin, ctypes.c_float),
+        )
+        return cls(h, lib)
+
+    # ------------------------------------------------------------ properties
+    @property
+    def num_states(self) -> int:
+        return self._lib.dsr_fst_num_states(self._h)
+
+    @property
+    def num_arcs(self) -> int:
+        return self._lib.dsr_fst_num_arcs(self._h)
+
+    @property
+    def start(self) -> int:
+        return self._lib.dsr_fst_start(self._h)
+
+    @property
+    def max_outdeg(self) -> int:
+        return self._lib.dsr_fst_max_outdeg(self._h)
+
+    # ------------------------------------------------------------------- ops
+    def compose(self, other: "NativeFst") -> "NativeFst":
+        """self ∘ other; sorts other's arcs in place first (C++ requires
+        ilabel-sorted B for its binary search)."""
+        self._lib.dsr_fst_arcsort(other._h)
+        return NativeFst(self._lib.dsr_fst_compose(self._h, other._h), self._lib)
+
+    def determinize(self, max_states: int = 10_000_000) -> "NativeFst":
+        rh = self._lib.dsr_fst_determinize(self._h, max_states)
+        if not rh:
+            raise RuntimeError(
+                "determinize exceeded max_states — input likely violates "
+                "the twins property (undeterminizable)"
+            )
+        return NativeFst(rh, self._lib)
+
+    def rmepsilon(self) -> "NativeFst":
+        return NativeFst(self._lib.dsr_fst_rmepsilon(self._h), self._lib)
+
+    def connect(self) -> "NativeFst":
+        return NativeFst(self._lib.dsr_fst_connect(self._h), self._lib)
+
+    # ---------------------------------------------------------------- export
+    def to_csr(self):
+        """→ (off int64 (S+1), il, ol int32, w f32, nxt int32, start, fin f32)."""
+        lib, h = self._lib, self._h
+        n = lib.dsr_fst_num_states(h)
+        na = lib.dsr_fst_num_arcs(h)
+        off = np.zeros(n + 1, np.int64)
+        il = np.empty(na, np.int32)
+        ol = np.empty(na, np.int32)
+        w = np.empty(na, np.float32)
+        nxt = np.empty(na, np.int32)
+        fin = np.empty(max(n, 1), np.float32)
+        if n:
+            lib.dsr_fst_copy_out(
+                h, _ptr(off, ctypes.c_int64), _ptr(il, ctypes.c_int32),
+                _ptr(ol, ctypes.c_int32), _ptr(w, ctypes.c_float),
+                _ptr(nxt, ctypes.c_int32), _ptr(fin, ctypes.c_float),
+            )
+        return off, il, ol, w, nxt, (lib.dsr_fst_start(h) if n else -1), fin[:n]
+
+    def to_wfst(self) -> Wfst:
+        return _from_handle(self._lib, self._h)

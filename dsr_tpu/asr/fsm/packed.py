@@ -29,6 +29,30 @@ class PackedGraph(NamedTuple):
         return len(self.src)
 
 
+def pack_csr(off, il, ol, w, nxt, start: int, fin) -> PackedGraph:
+    """Vectorised pack from CSR arrays (NativeFst.to_csr output) — the
+    LVCSR-scale path; `pack` below is the small-graph `Wfst` convenience."""
+    off = np.asarray(off, np.int64)
+    il = np.asarray(il, np.int32)
+    S = len(off) - 1
+    if np.any(il == EPS):
+        bad = int(np.argmax(il == EPS))
+        raise ValueError(
+            f"non-emitting arc #{bad} (ilabel=eps); run rmepsilon before packing"
+        )
+    src = np.repeat(np.arange(S, dtype=np.int32), np.diff(off))
+    return PackedGraph(
+        src,
+        il - 1,
+        np.asarray(ol, np.int32),
+        np.asarray(w, np.float32),
+        np.asarray(nxt, np.int32),
+        int(start),
+        np.asarray(fin, np.float32),
+        S,
+    )
+
+
 def pack(fst: Wfst) -> PackedGraph:
     S = fst.num_states
     src, pdf, ola, wgt, dst = [], [], [], [], []

@@ -1,0 +1,182 @@
+"""Synthetic LVCSR task — BASELINE.json config 4 ("large-vocab HCLG,
+graph sharded when it exceeds one chip"; SURVEY.md §2.2/§2.3).
+
+The reference's LVCSR recipes read an external pronunciation lexicon and an
+ARPA n-gram LM (SURVEY.md §2.2 dict/lm rows [K]); this environment ships no
+corpus, so the task is *generated*: random pronunciations over a CMU-style
+phone inventory, a sparse-Markov text corpus, an absolute-discount trigram
+ARPA (`lm.train_arpa_ngram`), and HCLG composed entirely through the native
+C++ handle pipeline (`fsm/native.NativeFst`) — the intermediate graphs
+(L∘G, det, H∘LG, rmeps) never round-trip through Python objects.
+
+Graph-shape property that makes the result TPU-decodable: the lexicon uses
+late word labels (`build_lexicon_fst(olabel_at="end")`), so pair-encoded
+determinization shares pronunciation prefixes across words and every
+state's out-degree is bounded by the phone inventory, not the vocabulary —
+the packed (S, A_max) token tables stay narrow at 10^5–10^6 arcs.
+
+Graphs are cached (npz) under ~/.cache/dsr_tpu keyed by the build params;
+the default V=2000 trigram build (340k states / 700k arcs) takes ~3 s,
+reloads in <1 s.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pathlib
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from dsr_tpu.asr.fsm import lm as _lm
+from dsr_tpu.asr.fsm import native as _native
+from dsr_tpu.asr.fsm.hclg import (
+    SymbolTable, build_hmm_fst, build_lexicon_fst, build_lg_fst,
+)
+from dsr_tpu.asr.fsm.packed import PackedGraph, pack_csr
+
+# CMU-style condensed phone inventory (39 phones + sil)
+PHONE_INVENTORY = (
+    "aa ae ah ao aw ay b ch d dh eh er ey f g hh ih iy jh k l m n ng ow oy "
+    "p r s sh t th uh uw v w y z zh"
+).split()
+
+
+def make_lexicon(
+    vocab_size: int, rng: np.random.Generator, min_len: int = 2, max_len: int = 7
+) -> dict[str, tuple[str, ...]]:
+    """Random pronunciations; natural collisions become homophones (legal —
+    the late-label lexicon keeps them distinct by olabel)."""
+    lex = {}
+    for i in range(vocab_size):
+        n = int(rng.integers(min_len, max_len + 1))
+        pron = tuple(PHONE_INVENTORY[int(j)] for j in rng.integers(0, len(PHONE_INVENTORY), n))
+        lex[f"w{i:05d}"] = pron
+    return lex
+
+
+def make_text(
+    vocab: list[str],
+    n_tokens: int,
+    branching: int,
+    rng: np.random.Generator,
+    min_sent: int = 6,
+    max_sent: int = 14,
+) -> list[list[str]]:
+    """Sparse-Markov sentences: each word has `branching` possible
+    successors, so n-gram type counts (→ G/HCLG size) are controlled by
+    (vocab, branching, n_tokens) instead of exploding combinatorially."""
+    V = len(vocab)
+    succ = rng.integers(0, V, size=(V, branching))
+    sents, count = [], 0
+    while count < n_tokens:
+        n = int(rng.integers(min_sent, max_sent + 1))
+        w = int(rng.integers(0, V))
+        sent = [vocab[w]]
+        for _ in range(n - 1):
+            w = int(succ[w, int(rng.integers(0, branching))])
+            sent.append(vocab[w])
+        sents.append(sent)
+        count += n
+    return sents
+
+
+@dataclass(frozen=True)
+class LvcsrConfig:
+    vocab_size: int = 2000
+    n_tokens: int = 30_000
+    branching: int = 4
+    order: int = 3
+    states_per_phone: int = 3
+    seed: int = 0
+
+    def key(self) -> str:
+        blob = json.dumps(self.__dict__, sort_keys=True).encode()
+        return hashlib.sha1(blob).hexdigest()[:12]
+
+
+@dataclass
+class LvcsrTask:
+    graph: PackedGraph
+    words: SymbolTable
+    phones: SymbolTable
+    lexicon: dict[str, tuple[str, ...]]
+    cfg: LvcsrConfig
+    build_stats: dict
+
+    @property
+    def num_pdfs(self) -> int:
+        return (len(self.phones) - 1) * self.cfg.states_per_phone
+
+
+def _cache_dir() -> pathlib.Path:
+    d = pathlib.Path(os.environ.get("DSR_TPU_CACHE", "~/.cache/dsr_tpu")).expanduser()
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def build_task(cfg: LvcsrConfig = LvcsrConfig(), verbose: bool = False) -> LvcsrTask:
+    """Generate (or load from cache) the LVCSR task: lexicon + trigram LM +
+    packed HCLG.  Requires the native WFST core (LVCSR-scale composition is
+    a C++ job by design — SURVEY.md §2.2 fsm row)."""
+    rng = np.random.default_rng(cfg.seed)
+    lex = make_lexicon(cfg.vocab_size, rng)
+    vocab = sorted(lex)
+    words = SymbolTable(vocab + ["</s>", "<s>"])
+    phones = SymbolTable(PHONE_INVENTORY + ["sil"])
+
+    cache = _cache_dir() / f"lvcsr_{cfg.key()}.npz"
+    if cache.exists():
+        z = np.load(cache, allow_pickle=False)
+        graph = PackedGraph(
+            z["src"], z["pdf"], z["olabel"], z["weight"], z["dst"],
+            int(z["start"]), z["final_weight"], int(z["num_states"]),
+        )
+        stats = json.loads(str(z["stats"]))
+        return LvcsrTask(graph, words, phones, lex, cfg, stats)
+
+    if not _native.available():
+        raise RuntimeError(
+            "LVCSR graph build needs the native WFST core (make -C native)"
+        )
+
+    t0 = time.time()
+    text = make_text(vocab, cfg.n_tokens, cfg.branching, rng)
+    arpa = _lm.train_arpa_ngram(text, vocab, order=cfg.order)
+    G = _lm.arpa_to_fst(arpa, words)
+    LG = build_lg_fst(lex, phones, words, G, sil_phone="sil")
+    H = build_hmm_fst(len(phones) - 1, 0, cfg.states_per_phone)
+    t1 = time.time()
+
+    nLG = _native.NativeFst.from_wfst(LG)
+    nLGd = nLG.determinize()
+    nLG.free()
+    nH = _native.NativeFst.from_wfst(H)
+    nHLG = nH.compose(nLGd)
+    nH.free(); nLGd.free()
+    nOut = nHLG.rmepsilon()          # ends with connect()
+    nHLG.free()
+    stats = {
+        "num_states": nOut.num_states,
+        "num_arcs": nOut.num_arcs,
+        "max_outdeg": nOut.max_outdeg,
+        "build_fsts_s": round(t1 - t0, 2),
+        "build_native_s": round(time.time() - t1, 2),
+        "arpa_ngrams": arpa.count("\n"),
+    }
+    off, il, ol, w, nxt, start, fin = nOut.to_csr()
+    nOut.free()
+    graph = pack_csr(off, il, ol, w, nxt, start, fin)
+    if verbose:
+        print(f"LVCSR HCLG: {stats}")
+    np.savez_compressed(
+        cache,
+        src=graph.src, pdf=graph.pdf, olabel=graph.olabel, weight=graph.weight,
+        dst=graph.dst, start=np.int64(graph.start),
+        final_weight=graph.final_weight, num_states=np.int64(graph.num_states),
+        stats=np.str_(json.dumps(stats)),
+    )
+    return LvcsrTask(graph, words, phones, lex, cfg, stats)

@@ -1,20 +1,33 @@
 """Graph-sharded WFST decoding over the `model` mesh axis (config 4).
 
 The composed HCLG's per-state arc tables are partitioned across chips by
-state range; active tokens are replicated; each shard expands only the
-tokens whose states it owns and scatter-maxes into a full (S,) score board;
-a `pmax` over the model axis merges the boards — this is the "active-beam
-state exchanged via ICI collectives inside a batched lax.scan decode loop"
-of BASELINE.json / SURVEY.md §2.3.  Utterances ride the `data` axis.
+state range; active tokens are replicated over the graph shards; each shard
+expands only the tokens whose SOURCE states it owns and recombines its own
+candidates by the same sort-based segmented max the single-chip top-K
+decoder uses; the per-frame exchange is an `all_gather` of each shard's
+top-Kcap (dst, score, arc, olabel) candidates over the ICI ring followed by
+a replicated merge — "active-beam state exchanged via ICI collectives
+inside a batched lax.scan decode loop" (BASELINE.json / SURVEY.md §2.3).
+Utterances ride the `data` axis.
+
+Scalability: NOTHING in the frame loop is O(S).  Per frame each shard does
+O(Kcap·A_max log) local work plus an O(n_model·Kcap) exchange — the graph
+can exceed a single chip's memory without the decode loop ever touching a
+dense state board (the round-1 implementation scatter-maxed into an (S,)
+board + pmax, reinstating the state-count ceiling; this rewrite removes
+it).
+
+Exactness: equal to the single-device top-K decode.  The global best
+candidate for any destination state is generated on exactly one shard (the
+owner of the winning arc's source state), where it outranks the candidates
+it beats globally — so it survives that shard's local top-Kcap and the
+merged top-Kcap equals the unsharded one.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -33,7 +46,6 @@ def pad_token_graph_states(g: TokenGraph, shards: int) -> TokenGraph:
         jnp.pad(g.olabel, ((0, pad), (0, 0))),
         jnp.pad(g.weight, ((0, pad), (0, 0)), constant_values=NEG),
         jnp.pad(g.dst, ((0, pad), (0, 0))),
-        jnp.pad(g.src_of_arc, (0, pad * g.a_max)),
         g.start,
         jnp.pad(g.final_weight, (0, pad), constant_values=NEG),
         Sp,
@@ -41,12 +53,14 @@ def pad_token_graph_states(g: TokenGraph, shards: int) -> TokenGraph:
     )
 
 
-def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256, beam: float = 1e9):
+def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
+                        beam: float = 1e9, return_tokens: bool = False):
     """Build a jitted sharded decode fn: (loglik (U, T, Pdf), lengths (U,))
-    → (olabels (U, T), scores (U,)).
+    → (olabels (U, T), scores (U,)) [+ token arrays if `return_tokens`].
 
     Arc tables are sharded over `model` by state range; loglik/lengths over
-    `data`; the per-frame board merge is a pmax over `model`.
+    `data`; the per-frame merge is an all_gather of per-shard top-K
+    candidate sets (see module docstring).
     """
     n_model = mesh.shape["model"]
     kcap = min(kcap, graph.num_states)
@@ -54,89 +68,125 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256, beam: fl
     S, A = g.num_states, g.a_max
     S_shard = S // n_model
 
-    def decode_shard(pdf, ola, wgt, dst, soa, fin, loglik, lengths):
-        # pdf..: (S_shard, A); loglik: (U_shard, T, P)
+    def decode_shard(pdf, ola, wgt, dst, fin, loglik, lengths):
+        # pdf/ola/wgt/dst: (S_shard, A); fin: (S_shard,); loglik: (U_sh, T, P)
         shard = jax.lax.axis_index("model")
         offset = shard * S_shard
+
+        def fin_of(states):
+            """Final weight lookup across shards: owner supplies, pmax merges
+            (non-final and non-owned both yield NEG)."""
+            local = states - offset
+            mine = (local >= 0) & (local < S_shard)
+            f = jnp.where(mine, fin[jnp.clip(local, 0, S_shard - 1)], NEG)
+            return jax.lax.pmax(f, "model")
 
         def one_utt(ll, length):
             T = ll.shape[0]
             states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(jnp.int32(g.start))
             scores0 = jnp.full((kcap,), NEG, jnp.float32).at[0].set(0.0)
             # the carry varies over `data` (it depends on this shard's ll)
-            states0 = jax.lax.pcast(states0, ("data",), to="varying")
-            scores0 = jax.lax.pcast(scores0, ("data",), to="varying")
+            # and is marked varying over `model` too: every shard computes
+            # identical merged values (the all_gather makes the merge
+            # replicated by construction) but the type system tracks the
+            # gather's per-shard provenance; the final pmax re-marks outputs
+            # replicated.
+            states0 = jax.lax.pcast(states0, ("data", "model"), to="varying")
+            scores0 = jax.lax.pcast(scores0, ("data", "model"), to="varying")
 
             def step(carry, inp):
                 states, scores = carry
                 t, llt = inp
+                # ---- expand MY tokens only (source-state ownership) ------
                 local = states - offset
                 mine = (local >= 0) & (local < S_shard)
                 li = jnp.clip(local, 0, S_shard - 1)
-                w = jnp.where(mine[:, None], wgt[li], NEG)
+                w = jnp.where(mine[:, None], wgt[li], NEG)       # (kcap, A)
                 cand = scores[:, None] + w + llt[pdf[li]]
-                cdst = dst[li]
                 flat = cand.reshape(-1)
-                fdst = cdst.reshape(-1)
-                dense = jnp.full((S,), NEG).at[fdst].max(flat)
-                # merge boards across graph shards FIRST (ICI collective) —
-                # the winning arc must be selected against the merged board,
-                # otherwise a losing shard's local best could win the pmax
-                dense = jax.lax.pmax(dense, "model")
-                arc_ids = ((states[:, None]) * A
-                           + jax.lax.broadcasted_iota(jnp.int32, (kcap, A), 1)).reshape(-1)
-                is_best = flat >= dense[fdst] - 1e-6
-                best_arc = jnp.full((S,), -1, jnp.int32).at[fdst].max(
-                    jnp.where(is_best & (flat > NEG / 2), arc_ids, -1)
+                fdst = dst[li].reshape(-1)
+                folab = ola[li].reshape(-1)
+                arc_ids = (states[:, None] * A
+                           + jax.lax.broadcasted_iota(jnp.int32, (kcap, A), 1)
+                           ).reshape(-1)
+                # ---- local sort-recombine → my top-Kcap ------------------
+                sd, sneg, sa, so = jax.lax.sort(
+                    (fdst, -flat, arc_ids, folab), num_keys=2
                 )
-                best_arc = jax.lax.pmax(best_arc, "model")
-                mx = jnp.max(dense)
-                dense = jnp.where(dense > mx - beam, dense, NEG)
-                new_scores, new_states = jax.lax.top_k(dense, kcap)
-                new_states = new_states.astype(jnp.int32)
+                first = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
+                val = jnp.where(first, -sneg, NEG)
+                loc_v, idx = jax.lax.top_k(val, kcap)
+                loc_d, loc_a, loc_o = sd[idx], sa[idx], so[idx]
+                # ---- exchange: all_gather candidate sets over ICI --------
+                gv = jax.lax.all_gather(loc_v, "model", tiled=True)
+                gd = jax.lax.all_gather(loc_d, "model", tiled=True)
+                ga = jax.lax.all_gather(loc_a, "model", tiled=True)
+                go = jax.lax.all_gather(loc_o, "model", tiled=True)
+                # ---- replicated merge: recombine across shards -----------
+                md, mneg, ma, mo = jax.lax.sort((gd, -gv, ga, go), num_keys=2)
+                firstm = jnp.concatenate([jnp.ones((1,), bool), md[1:] != md[:-1]])
+                mval = jnp.where(firstm, -mneg, NEG)
+                mx = jnp.max(mval)
+                mval = jnp.where(mval > mx - beam, mval, NEG)    # beam prune
+                new_scores, midx = jax.lax.top_k(mval, kcap)
+                alive = new_scores > NEG / 2
+                new_states = jnp.where(alive, md[midx], 0).astype(jnp.int32)
                 keep = t < length
                 states_o = jnp.where(keep, new_states, states)
                 scores_o = jnp.where(keep, new_scores, scores)
-                return (states_o, scores_o), (states_o, jnp.where(keep, best_arc[new_states], -1))
+                bp_arc = jnp.where(keep & alive, ma[midx], -1)
+                bp_olab = jnp.where(keep & alive, mo[midx], 0)
+                return (states_o, scores_o), (states_o, bp_arc, bp_olab, scores_o)
 
             ts = jnp.arange(T)
-            (sf, scf), (tok_states, tok_arcs) = jax.lax.scan(step, (states0, scores0), (ts, ll))
-            total = scf + fin_full[sf]
+            (sf, scf), (tok_states, tok_arcs, tok_olabs, tok_scores) = jax.lax.scan(
+                step, (states0, scores0), (ts, ll)
+            )
+            total = scf + fin_of(sf)
+            # final fallback (matches topk_decoder): best token without the
+            # final weight when no token reaches a final state
+            total = jnp.where(jnp.max(total) > NEG / 2, total, scf)
             slot = jnp.argmax(total)
             best_state = sf[slot]
             best_score = total[slot]
 
             def back(state, inp):
-                t, sts, arcs = inp
+                t, sts, arcs, olbs = inp
                 k = jnp.argmax(sts == state)
                 arc = arcs[k]
                 valid = (t < length) & (arc >= 0)
-                prev = jnp.where(valid, soa_full[jnp.maximum(arc, 0)], state)
-                olab = jnp.where(valid, ola_full.reshape(-1)[jnp.maximum(arc, 0)], 0)
+                # flat arc id = src*A + slot → src = arc // A (no table)
+                prev = jnp.where(valid, jnp.maximum(arc, 0) // A, state)
+                olab = jnp.where(valid, olbs[k], 0)
                 return prev, olab
 
-            _, olabs = jax.lax.scan(back, best_state, (ts, tok_states, tok_arcs), reverse=True)
-            # identical on every model shard already; the pmax marks them
-            # replicated for shard_map's out_specs inference
-            return jax.lax.pmax(olabs, "model"), jax.lax.pmax(best_score, "model")
+            _, olabs = jax.lax.scan(
+                back, best_state, (ts, tok_states, tok_arcs, tok_olabs),
+                reverse=True,
+            )
+            # identical on every model shard already (merge is replicated);
+            # the pmax marks them replicated for out_specs inference
+            rep = lambda x: jax.lax.pmax(x, "model")
+            out = (rep(olabs), rep(best_score))
+            if return_tokens:
+                out += (rep(tok_states), rep(tok_arcs), rep(tok_olabs),
+                        rep(tok_scores))
+            return out
 
-        # replicate small global tables needed for traceback/final weights
-        fin_full = jax.lax.all_gather(fin, "model", tiled=True)
-        soa_full = jax.lax.all_gather(soa, "model", tiled=True)
-        ola_full = jax.lax.all_gather(ola, "model", tiled=True)
         return jax.vmap(one_utt)(loglik, lengths)
 
+    nouts = 6 if return_tokens else 2
     fn = shard_map(
         decode_shard,
         mesh=mesh,
         in_specs=(P("model"), P("model"), P("model"), P("model"), P("model"),
-                  P("model"), P("data"), P("data")),
-        out_specs=(P("data"), P("data")),
+                  P("data"), P("data")),
+        out_specs=tuple(P("data") for _ in range(nouts)),
     )
 
     @jax.jit
     def run(loglik, lengths):
-        return fn(g.pdf, g.olabel, g.weight, g.dst, g.src_of_arc, g.final_weight,
+        return fn(g.pdf, g.olabel, g.weight, g.dst, g.final_weight,
                   loglik, lengths)
 
     return run

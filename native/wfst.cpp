@@ -425,4 +425,43 @@ void* dsr_fst_connect(void* a) {
   return new Fst(connect(*static_cast<Fst*>(a)));
 }
 
+// In-place stable arc sort by (ilabel, olabel) per state — the precondition
+// for this file's compose(B) binary search, so handle-level pipelines can
+// chain ops without re-sorting through Python.
+void dsr_fst_arcsort(void* h) {
+  Fst* f = static_cast<Fst*>(h);
+  std::vector<int64_t> idx;
+  for (int s = 0; s < f->ns; ++s) {
+    const int64_t a0 = f->off[s], a1 = f->off[s + 1];
+    idx.resize(a1 - a0);
+    for (int64_t i = 0; i < a1 - a0; ++i) idx[i] = a0 + i;
+    std::stable_sort(idx.begin(), idx.end(), [f](int64_t x, int64_t y) {
+      if (f->il[x] != f->il[y]) return f->il[x] < f->il[y];
+      return f->ol[x] < f->ol[y];
+    });
+    std::vector<int> il(a1 - a0), ol(a1 - a0), nxt(a1 - a0);
+    std::vector<float> w(a1 - a0);
+    for (int64_t i = 0; i < a1 - a0; ++i) {
+      il[i] = f->il[idx[i]];
+      ol[i] = f->ol[idx[i]];
+      w[i] = f->w[idx[i]];
+      nxt[i] = f->nxt[idx[i]];
+    }
+    std::copy(il.begin(), il.end(), f->il.begin() + a0);
+    std::copy(ol.begin(), ol.end(), f->ol.begin() + a0);
+    std::copy(w.begin(), w.end(), f->w.begin() + a0);
+    std::copy(nxt.begin(), nxt.end(), f->nxt.begin() + a0);
+  }
+}
+
+// Max out-degree over states — sizing diagnostic for the packed decoder's
+// per-state arc-row padding.
+int64_t dsr_fst_max_outdeg(void* h) {
+  Fst* f = static_cast<Fst*>(h);
+  int64_t m = 0;
+  for (int s = 0; s < f->ns; ++s)
+    m = std::max(m, f->off[s + 1] - f->off[s]);
+  return m;
+}
+
 }  // extern "C"

@@ -1,0 +1,109 @@
+"""LVCSR config-4 gates: the synthetic large-vocab HCLG builds at scale,
+the direct LG constructor equals generic composition, and graph-sharded
+decode equals single-device decode on a ≥10⁴-state graph (SURVEY.md
+§2.3 graph sharding; BASELINE.json config 4)."""
+
+import numpy as np
+import pytest
+
+from dsr_tpu.asr import lvcsr
+from dsr_tpu.asr.decoder import topk_decoder as tk
+from dsr_tpu.asr.decoder import wfst_decoder as wd
+from dsr_tpu.asr.fsm import hclg, lm, native
+from dsr_tpu.asr.fsm.packed import pack
+from dsr_tpu.config import MeshConfig
+from dsr_tpu.parallel import make_mesh
+from dsr_tpu.parallel.decoder import make_sharded_decode
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native WFST core not built"
+)
+
+
+@pytest.fixture(scope="module")
+def task():
+    # ~43k states / ~90k arcs; builds in ~1 s, cached afterwards
+    return lvcsr.build_task(lvcsr.LvcsrConfig(vocab_size=300, n_tokens=5000, branching=3))
+
+
+def test_lvcsr_graph_scale_and_shape(task):
+    g = task.graph
+    assert g.num_states >= 10_000
+    assert g.num_arcs >= 50_000
+    # the late-label lexicon bounds out-degree by the phone inventory,
+    # NOT the vocabulary — the property that keeps token tables narrow
+    deg = np.bincount(g.src, minlength=g.num_states)
+    assert deg.max() <= len(task.phones) + 2
+    # every arc is emitting (packing invariant)
+    assert (g.pdf >= 0).all() and (g.pdf < task.num_pdfs).all()
+
+
+def test_build_lg_direct_equals_composition():
+    """build_lg_fst == connect(compose(L_end, G)) up to weighted language:
+    decode parity on random logliks through the full HCLG."""
+    rng = np.random.default_rng(1)
+    lex = lvcsr.make_lexicon(25, rng, min_len=2, max_len=4)
+    vocab = sorted(lex)
+    words = hclg.SymbolTable(vocab + ["</s>", "<s>"])
+    phones = hclg.SymbolTable(lvcsr.PHONE_INVENTORY + ["sil"])
+    text = lvcsr.make_text(vocab, 400, 3, rng)
+    arpa = lm.train_arpa_ngram(text, vocab, order=2)
+    G = lm.arpa_to_fst(arpa, words)
+
+    LG_direct = hclg.build_lg_fst(lex, phones, words, G, sil_phone="sil")
+    L, _ = hclg.build_lexicon_fst(lex, phones, words, sil_phone="sil", olabel_at="end")
+    LG_comp = L.compose(G)
+
+    H = hclg.build_hmm_fst(len(phones) - 1, 0, 2)
+    graphs = []
+    for LG in (LG_direct, LG_comp):
+        HLG = H.compose(LG.determinize())
+        graphs.append(pack(HLG.rmepsilon().connect()))
+    P = (len(phones) - 1) * 2
+    tg_a, tg_b = (tk.build_token_graph(g) for g in graphs)
+    for seed in range(3):
+        ll = np.random.default_rng(seed).standard_normal((40, P)).astype(np.float32) * 3
+        ol_a, sc_a = tk.decode(tg_a, ll, kcap=min(graphs[0].num_states, 4096))
+        ol_b, sc_b = tk.decode(tg_b, ll, kcap=min(graphs[1].num_states, 4096))
+        assert abs(float(sc_a) - float(sc_b)) < 1e-2
+        wa = [int(o) for o in np.asarray(ol_a) if o]
+        wb = [int(o) for o in np.asarray(ol_b) if o]
+        assert wa == wb
+
+
+def test_lvcsr_sharded_decode_matches_single(task):
+    tg = tk.build_token_graph(task.graph)
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    kcap, beam = 512, 1e9
+    run = make_sharded_decode(mesh, tg, kcap=kcap, beam=beam)
+    U, T = 2, 60
+    rng = np.random.default_rng(7)
+    lls = rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32) * 2
+    lens = np.asarray([T, T - 13], np.int32)
+    olabs_sh, scores_sh = run(lls, lens)
+    for i in range(U):
+        ol1, sc1 = tk.decode(tg, lls[i], kcap=kcap, beam=beam, length=int(lens[i]))
+        assert abs(float(scores_sh[i]) - float(sc1)) < 1e-2
+        w_sh = [int(o) for o in np.asarray(olabs_sh[i])[: lens[i]] if o]
+        w_1 = [int(o) for o in np.asarray(ol1)[: lens[i]] if o]
+        assert w_sh == w_1
+
+
+def test_lvcsr_sharded_beam_pruned_matches_single(task):
+    """Beam pruning must behave identically sharded vs single (the beam is
+    applied after the replicated merge)."""
+    tg = tk.build_token_graph(task.graph)
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    kcap, beam = 256, 15.0
+    run = make_sharded_decode(mesh, tg, kcap=kcap, beam=beam)
+    U, T = 2, 40
+    rng = np.random.default_rng(11)
+    lls = rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32) * 2
+    lens = np.asarray([T, T], np.int32)
+    olabs_sh, scores_sh = run(lls, lens)
+    for i in range(U):
+        ol1, sc1 = tk.decode(tg, lls[i], kcap=kcap, beam=beam)
+        assert abs(float(scores_sh[i]) - float(sc1)) < 1e-2
+        assert [int(o) for o in np.asarray(olabs_sh[i]) if o] == [
+            int(o) for o in np.asarray(ol1) if o
+        ]
