@@ -74,9 +74,9 @@ def build_token_graph(g: PackedGraph) -> TokenGraph:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap"))
+@functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap", "nlat"))
 def _decode_impl(loglik, length, pdf, olabel, weight, dst, start, final_w,
-                 *, num_states, a_max, kcap, beam):
+                 *, num_states, a_max, kcap, beam, nlat=0):
     T = loglik.shape[0]
     S = num_states
 
@@ -131,12 +131,30 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, start, final_w,
         states_out = jnp.where(keep, new_states, states)
         scores_out = jnp.where(keep, new_scores, scores)
         bp_arc = jnp.where(keep & alive, sa[idx], -1)
-        return (states_out, scores_out), (states_out, bp_arc, scores_out)
+        out = (states_out, bp_arc, scores_out)
+        if nlat:
+            # LATTICE arcs: the sorted candidates are grouped by dst, best
+            # first, and idx[k] is the START of slot k's run — so its top-N
+            # incoming arcs are positions idx[k]..idx[k]+N-1, valid while
+            # still inside the run (same dst) and the array.
+            ncand = fdst.shape[0]
+            pos = idx[:, None] + jnp.arange(nlat)[None, :]      # (kcap, N)
+            posc = jnp.minimum(pos, ncand - 1)
+            v = -sneg[posc]
+            ok = (
+                (sd[posc] == sd[idx][:, None]) & (pos < ncand)
+                & alive[:, None] & keep & (v > mx - beam)
+            )
+            alt_arcs = jnp.where(ok, sa[posc], -1)
+            alt_scores = jnp.where(ok, v, NEG)
+            out = out + (alt_arcs, alt_scores)
+        return (states_out, scores_out), out
 
     ts = jnp.arange(T)
-    (states_f, scores_f), (tok_states, tok_arcs, tok_scores) = jax.lax.scan(
+    (states_f, scores_f), outs = jax.lax.scan(
         step, (states0, scores0), (ts, loglik)
     )
+    tok_states, tok_arcs, tok_scores = outs[:3]
     total = scores_f + final_w[states_f]
     # final fallback: if no surviving token reaches a final state (e.g. the
     # utterance was cut mid-word), take the best token without the final
