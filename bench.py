@@ -1,8 +1,10 @@
-"""Headline benchmark: beamformed audio-sec/s/chip (BASELINE.json metric).
+"""Headline benchmark: beamformed audio-sec/s/chip (BASELINE.json metric)
+plus LVCSR decode RTF (config 4) and roofline accounting, one JSON line.
 
 Config-2 style pipeline — 64-channel circular array, oversampled subband
-analysis (M=256, m=4, r=2, Pallas streaming kernel), superdirective MVDR
-apply, synthesis — on the single available chip.  Prints ONE JSON line.
+analysis fused with superdirective MVDR apply (M=256, m=4, r=2, Pallas v5
+kernels), synthesis — on the single available chip; then batched top-K
+decode over the synthetic 340k-state trigram HCLG (config 4).
 
 Measurement protocol (the axon dev runtime makes naive timing lie):
   - inputs are device-resident (the dev tunnel uploads at ~8 MB/s and
@@ -13,11 +15,22 @@ Measurement protocol (the axon dev runtime makes naive timing lie):
   - CHAIN pipelines run inside ONE jit with a scalar readback per call:
     `block_until_ready` returns early through the axon tunnel, so only a
     host readback of a data-dependent scalar bounds the true execution
-    time; chaining amortises the ~26 ms dispatch round trip (measured:
-    an EMPTY fori_loop body costs 26 ms/call — CHAIN must be ≥100 for
-    the dispatch to fall below 10% of the measured time).  Each chain
-    step pulls a different device-resident buffer via an i-dependent
-    dynamic index, so XLA cannot hoist the work out of the loop.
+    time.  The dispatch round trip is ~25 ms PER JIT CALL regardless of
+    work (measured: an EMPTY fori_loop body costs the same 25 ms), i.e.
+    a CHAIN=N loop carries a 25/N ms additive floor per iteration — with
+    the v5 kernels at ~0.3 ms/iteration CHAIN must be ≥1000 for the floor
+    to fall below 10%.  Each chain step pulls a different device-resident
+    buffer via an i-dependent dynamic index, so XLA cannot hoist the work
+    out of the loop.
+  - the decoder is a fixed-shape lax.scan (identical compute for any
+    loglik values), so synthetic loglik measures true decode throughput.
+
+Roofline (BASELINE.md "speed-of-light per chip"): the beamform pipeline's
+floor is max(HBM bytes moved / peak BW, executed MXU FLOPs / peak);
+`fraction_of_roofline` = floor_time / achieved_time.  Executed FLOPs count
+the bf16x3 3-pass decomposition the hardware actually runs.  The decoder
+is sort/gather-bound, not stream-bound, so it reports RTF instead of a
+bandwidth fraction.
 
 No published reference numbers exist (BASELINE.json "published": {}), so
 vs_baseline is reported against 1× real time.
@@ -32,21 +45,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+V5E_HBM_GBPS = 819.0          # v5e HBM peak
+V5E_BF16_TFLOPS = 197.0       # v5e MXU bf16 peak
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
+def bench_beamform(jax, jnp):
     from dsr_tpu.config import ArrayGeometry, FilterbankConfig
     from dsr_tpu.ops import beamforming as jbf
     from dsr_tpu.ops import filterbank as jfb
+    from dsr_tpu.ops.pallas import filterbank as pfb
     from golden import room as groom
 
     SR = 16000.0
     cfg = FilterbankConfig(M=256, m=4, r=2)
     N = 64
-    CHAIN = 100
+    CHAIN = 1000
     NBUF = 8
+    TT = 1024
     geom = ArrayGeometry.circular(N, 0.20)
     POS = np.asarray(geom.positions)
     secs = 8.0
@@ -60,14 +75,12 @@ def main():
     w = jbf.mvdr_weights_from_inv(
         jbf.steering_vectors(jnp.asarray(taus), cfg.M, SR), Ginv
     )
-    from dsr_tpu.ops.pallas import filterbank as pfb
-
     xs = jax.device_put(
         np.random.default_rng(0).standard_normal((NBUF, N, S)).astype(np.float32)
     )
     # Stage once at ingest: the fused kernel addresses buffers by scalar
     # index (production serving keeps audio in this frame layout).
-    xp = pfb.stage_for_beamform(xs, cfg, tile=512)
+    xp = pfb.stage_for_beamform(xs, cfg, tile=TT)
     xp.block_until_ready()
     hfj = jnp.asarray(hf, jnp.float32)
 
@@ -75,29 +88,118 @@ def main():
     def pipeline_chain(xp, w):
         def body(i, tot):
             # fused analysis+beamform Pallas kernel (bf16x3 DFT matmuls,
-            # ~3e-6 rel err vs the f32 unfused path) + synthesis bank
+            # ~4e-6 rel err vs the f32 unfused path) + synthesis kernel
+            # (in-kernel IDFT matmuls + roll OLA)
             Y = pfb.analysis_beamform_staged(
-                xp, i % NBUF, w, cfg, S, hfj, tile=512, precision="bf16x3"
+                xp, i % NBUF, w, cfg, S, hfj, tile=TT, precision="bf16x3"
             )
-            y = jfb.synthesis(Y, cfg, S, gf, delay)
+            y = pfb.synthesis(Y, cfg, S, gf, delay, precision="bf16x3")
             return tot + jnp.sum(jnp.abs(y))
 
         return jax.lax.fori_loop(0, CHAIN, body, 0.0)
 
     float(pipeline_chain(xp, w))  # warmup / compile
-    reps = 5
+    reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
-        checksum = float(pipeline_chain(xp, w))
+        float(pipeline_chain(xp, w))
     dt = (time.perf_counter() - t0) / (reps * CHAIN)
     audio_sec_per_s = secs / dt
+
+    # ---- roofline model ---------------------------------------------------
+    K = cfg.num_bins
+    T = jfb.num_frames(S, cfg)
+    Tpad = ((T + TT - 1) // TT) * TT
+    Lrows = cfg.L // 128
+    mr = cfg.L // cfg.D
+    ST = 256                                  # synthesis tile
+    nb = ((T + mr - 1 + ST - 1) // ST) * ST
+    # HBM bytes: staged-signal read (+overlap), fused re/im write, synth
+    # prep read+write (pad to Kp lanes), spectra read in-kernel, y write
+    R0 = TT + ((Lrows + 7) // 8) * 8
+    Kp = 256
+    bytes_moved = (
+        (Tpad // TT) * N * R0 * 128 * 4        # fused signal DMAs
+        + 2 * Tpad * K * 4                     # fused output write
+        + 2 * T * K * 4 + 2 * nb * Kp * 4      # synth prep read + write
+        + 2 * nb * Kp * 4                      # synth kernel spectra DMAs
+        + nb * 128 * 4                         # y write
+    )
+    # executed MXU FLOPs (bf16x3 = 3 passes; ny = 2 thin passes ~ small)
+    mrows = cfg.M // 128
+    fused_flops = (Tpad // TT) * N * (mrows * 2 * 3) * (2 * TT * 128 * (K - 1))
+    synth_flops = (nb // ST) * (2 * 3) * (2 * (ST + mr) * Kp * cfg.M)
+    flops = fused_flops + synth_flops
+    t_bw = bytes_moved / (V5E_HBM_GBPS * 1e9)
+    t_mxu = flops / (V5E_BF16_TFLOPS * 1e12)
+    sol = max(t_bw, t_mxu)
+    return {
+        "audio_sec_per_s": round(audio_sec_per_s, 2),
+        "ms_per_8s_buffer": round(dt * 1e3, 3),
+        "fraction_of_roofline": round(sol / dt, 3),
+        "roofline": {
+            "hbm_bytes": bytes_moved,
+            "mxu_flops": flops,
+            "t_bw_us": round(t_bw * 1e6, 1),
+            "t_mxu_us": round(t_mxu * 1e6, 1),
+            "bound": "mxu" if t_mxu > t_bw else "hbm",
+        },
+    }
+
+
+def bench_decode(jax, jnp):
+    from dsr_tpu.asr import lvcsr
+    from dsr_tpu.asr.decoder import topk_decoder as tk
+
+    task = lvcsr.build_task(lvcsr.LvcsrConfig())  # 340k states / 700k arcs
+    g = tk.build_token_graph(task.graph)
+    U, T = 8, 1000                                # 8 utts x 8 s @ 125 fps
+    rng = np.random.default_rng(0)
+    ll = jax.device_put(rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32))
+    lens = jax.device_put(np.full(U, T, np.int32))
+    _, sc = tk.decode_batch(g, ll, lens, kcap=256, beam=40.0)
+    float(jnp.sum(sc))                            # warmup / compile
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, sc = tk.decode_batch(g, ll, lens, kcap=256, beam=40.0)
+        float(jnp.sum(sc))
+    dt = (time.perf_counter() - t0) / reps
+    audio = U * T / 125.0
+    return {
+        "audio_sec_per_s": round(audio / dt, 2),
+        "rtf": round(dt / audio, 5),
+        "graph": {"states": g.num_states, "arcs": int(task.build_stats["num_arcs"]),
+                  "a_max": g.a_max, "kcap": 256},
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    bf = bench_beamform(jax, jnp)
+    try:
+        dec = bench_decode(jax, jnp)
+    except Exception as e:  # graph build needs the native core; never
+        dec = {"error": repr(e)}  # silently drop the headline metric
     print(
         json.dumps(
             {
                 "metric": "beamformed audio-sec/s/chip (64ch MVDR, M=256 subband)",
-                "value": round(audio_sec_per_s, 2),
+                "value": bf["audio_sec_per_s"],
                 "unit": "audio-sec/s/chip",
-                "vs_baseline": round(audio_sec_per_s, 2),
+                "vs_baseline": bf["audio_sec_per_s"],
+                "fraction_of_roofline": bf["fraction_of_roofline"],
+                "roofline": bf["roofline"],
+                "extra_metrics": [
+                    {
+                        "metric": "LVCSR decode audio-sec/s/chip "
+                                  "(340k-state trigram HCLG, top-K token passing)",
+                        "unit": "audio-sec/s/chip",
+                        **dec,
+                    }
+                ],
             }
         )
     )
