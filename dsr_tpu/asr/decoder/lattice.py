@@ -19,7 +19,15 @@ NEG = -1e30
 
 @dataclass
 class Lattice:
-    """Token lattice: per frame, Kcap slots with state/arc/score."""
+    """Token lattice: per frame, Kcap slots with state/arc/score.
+
+    With `alt_arcs`/`alt_scores` (decode_with_tokens(nlat=N)) the lattice
+    is a true DAG — up to N incoming arcs per (frame, slot) node with
+    their Viterbi path scores — supporting exact sum-semiring
+    forward-backward posteriors and an exact oracle (reference
+    asr/lattice [K]).  Without them it degrades to the single-winning-arc
+    token lattice (max-approximation posteriors, 1-best oracle bound).
+    """
 
     states: np.ndarray   # (T, K) int32 state per slot
     arcs: np.ndarray     # (T, K) int32 winning arc id into that state (-1 pad)
@@ -28,10 +36,99 @@ class Lattice:
     src_of_arc: np.ndarray     # (A,) src state per arc
     weight_of_arc: np.ndarray  # (A,) log-prob
     final_weight: np.ndarray   # (S,) log-prob
+    alt_arcs: np.ndarray | None = None    # (T, K, N) int32, -1 invalid
+    alt_scores: np.ndarray | None = None  # (T, K, N) f32, NEG invalid
 
     @property
     def num_frames(self):
         return len(self.states)
+
+    def _src_slot(self, t: int, src: int) -> int:
+        """Slot of `src` in frame t's token list (-1 if pruned/absent).
+        Dead slots carry state 0 at score NEG, so pick the best-scoring
+        match — recombination keeps exactly one live token per state."""
+        hits = self.states[t] == src
+        if not hits.any():
+            return -1
+        sc = np.where(hits, self.scores[t], NEG)
+        j = int(np.argmax(sc))
+        return j if sc[j] > NEG / 2 else -1
+
+    def forward_backward(self):
+        """Exact sum-semiring forward-backward over the true lattice.
+
+        Requires alt_arcs/alt_scores.  Link transition weight (graph arc
+        weight + acoustic loglik) is recovered as
+        `alt_scores[t,k,n] − scores[t−1, src_slot]` (the stored candidate
+        score is the source token's Viterbi score plus that transition).
+        Returns (alpha (T,K), beta (T,K), logZ, link_post (T,K,N));
+        per-frame link posteriors sum to 1 (every path crosses exactly one
+        arc per frame).
+        """
+        assert self.alt_arcs is not None, "decode with nlat>0 for exact FB"
+        T, K = self.states.shape
+        N = self.alt_arcs.shape[-1]
+        # per-link source slot and transition weight
+        src_slot = np.full((T, K, N), -1, np.int64)
+        delta = np.full((T, K, N), NEG)
+        for t in range(T):
+            for k in range(K):
+                for n in range(N):
+                    a = int(self.alt_arcs[t, k, n])
+                    if a < 0:
+                        continue
+                    src = int(self.src_of_arc[a])
+                    if t == 0:
+                        # frame-0 candidates expand from the start token
+                        src_slot[t, k, n] = 0
+                        delta[t, k, n] = float(self.alt_scores[t, k, n])
+                        continue
+                    j = self._src_slot(t - 1, src)
+                    if j < 0:
+                        continue
+                    src_slot[t, k, n] = j
+                    delta[t, k, n] = float(
+                        self.alt_scores[t, k, n] - self.scores[t - 1, j]
+                    )
+
+        def lse(a, axis=None):
+            m = np.max(a, axis=axis, keepdims=True)
+            out = m + np.log(np.sum(np.exp(a - np.maximum(m, NEG)), axis=axis,
+                                    keepdims=True))
+            out = np.where(m <= NEG / 2, NEG, out)
+            return np.squeeze(out, axis=axis) if axis is not None else float(out.reshape(()))
+
+        alpha = np.full((T, K), NEG)
+        for t in range(T):
+            prev = np.zeros(K) if t == 0 else alpha[t - 1]
+            terms = np.where(
+                src_slot[t] >= 0,
+                prev[np.maximum(src_slot[t], 0)] + delta[t],
+                NEG,
+            )
+            alpha[t] = lse(terms, axis=1)
+        fin = self.final_weight[self.states[-1]].astype(np.float64)
+        if np.max(fin) <= NEG / 2:
+            fin = np.zeros(K)  # final fallback, matches the decoder
+        logZ = lse(alpha[-1] + np.where(self.scores[-1] > NEG / 2, fin, NEG))
+
+        beta = np.full((T, K), NEG)
+        beta[T - 1] = np.where(self.scores[-1] > NEG / 2, fin, NEG)
+        for t in range(T - 1, 0, -1):
+            for j in range(K):
+                sel = src_slot[t] == j
+                if sel.any():
+                    beta[t - 1, j] = lse(np.where(sel, delta[t] + beta[t][:, None], NEG))
+        post = np.zeros((T, K, N))
+        for t in range(T):
+            prev = np.zeros(K) if t == 0 else alpha[t - 1]
+            lg = np.where(
+                src_slot[t] >= 0,
+                prev[np.maximum(src_slot[t], 0)] + delta[t] + beta[t][:, None] - logZ,
+                NEG,
+            )
+            post[t] = np.exp(np.minimum(lg, 50.0)) * (lg > NEG / 2)
+        return alpha, beta, logZ, post
 
     def one_best(self) -> tuple[list[int], float]:
         """Traceback the best final token → (word ids, score)."""
@@ -53,11 +150,16 @@ class Lattice:
         return list(reversed(words)), score
 
     def posteriors(self) -> np.ndarray:
-        """Per-(frame, slot) link posteriors by lattice forward-backward.
+        """Per-(frame, slot) node posteriors.
 
-        Uses the stored Viterbi scores as forward scores (max-approximation,
-        the standard token-lattice posterior) and a backward max pass.
+        With alt arcs (nlat>0 decode): EXACT sum-semiring forward-backward
+        over the lattice (`forward_backward`), node posterior = Σ over its
+        incoming links.  Without them: the stored Viterbi scores serve as
+        forward scores (max-approximation) with a backward max pass.
         """
+        if self.alt_arcs is not None:
+            _, _, _, post = self.forward_backward()
+            return post.sum(axis=-1)
         T, K = self.states.shape
         beta = self.final_weight[self.states[-1]].astype(np.float64)
         post = np.zeros((T, K))
@@ -99,20 +201,71 @@ class Lattice:
         )
 
     def oracle_errors(self, ref_words: list[int]) -> int:
-        """Oracle (minimum) word-error count over all lattice paths,
-        computed by DP over frames × reference positions (token lattice)."""
-        # collect all distinct word sequences is exponential; use the
-        # standard approximation: best path per frame via posteriors-pruned
-        # 1-best against each alignment — here: edit distance of 1-best.
+        """EXACT oracle: the minimum word-error count over ALL lattice
+        paths, by DP over (frame, slot) nodes × reference positions.
+
+        D[node][r] = min errors of any partial path into `node` that has
+        consumed r reference words; arcs advance it (match/substitute or
+        insert the arc's word; ε arcs are free), and the per-node deletion
+        relaxation D[·][r] = min(D[·][r], D[·][r−1]+1) skips unmatched
+        reference words.  Requires alt arcs (nlat>0 decode); without them
+        falls back to the 1-best's edit distance (an upper bound).
+        Reference asr/lattice oracle [K].
+        """
         from dsr_tpu.utils.metrics import edit_distance
 
-        hyp, _ = self.one_best()
-        s, d, i, _ = edit_distance(ref_words, hyp)
-        return s + d + i
+        if self.alt_arcs is None:
+            hyp, _ = self.one_best()
+            s, d, i, _ = edit_distance(ref_words, hyp)
+            return s + d + i
+        T, K = self.states.shape
+        N = self.alt_arcs.shape[-1]
+        R = len(ref_words)
+        ref = np.asarray(ref_words, dtype=np.int64)
+        INF = 10 ** 6
+        Dprev_start = np.arange(R + 1)            # start node: r deletions
+        D = np.full((K, R + 1), INF, np.int64)
+        for t in range(T):
+            Dt = np.full((K, R + 1), INF, np.int64)
+            for k in range(K):
+                for n in range(N):
+                    a = int(self.alt_arcs[t, k, n])
+                    if a < 0:
+                        continue
+                    if t == 0:
+                        dp = Dprev_start
+                    else:
+                        src = int(self.src_of_arc[a])
+                        j = self._src_slot(t - 1, src)
+                        if j < 0:
+                            continue
+                        dp = D[j]
+                    w = int(self.olabel_of_arc[a])
+                    if w == 0:
+                        cand = dp
+                    else:
+                        cand = dp + 1                     # insertion
+                        sub = np.full(R + 1, INF, np.int64)
+                        sub[1:] = dp[:-1] + (ref != w)    # match/substitute
+                        cand = np.minimum(cand, sub)
+                    Dt[k] = np.minimum(Dt[k], cand)
+                # deletion relaxation along r
+                for r in range(1, R + 1):
+                    Dt[k, r] = min(Dt[k, r], Dt[k, r - 1] + 1)
+            D = Dt
+        fin = self.final_weight[self.states[-1]]
+        live = (self.scores[-1] > NEG / 2)
+        ok = live & (fin > NEG / 2)
+        if not ok.any():
+            ok = live                                     # final fallback
+        best = int(np.min(np.where(ok, D[:, R], INF)))
+        return best
 
 
-def from_topk(tok_states, tok_arcs, tok_scores, token_graph) -> Lattice:
-    """Build a Lattice from topk_decoder per-frame arrays (device or host)."""
+def from_topk(tok_states, tok_arcs, tok_scores, token_graph,
+              alt_arcs=None, alt_scores=None) -> Lattice:
+    """Build a Lattice from topk_decoder per-frame arrays (device or host).
+    Pass decode_with_tokens(nlat=N)'s alt arrays for a true DAG lattice."""
     S, A_max = token_graph.num_states, token_graph.a_max
     return Lattice(
         np.asarray(tok_states),
@@ -122,10 +275,12 @@ def from_topk(tok_states, tok_arcs, tok_scores, token_graph) -> Lattice:
         np.repeat(np.arange(S, dtype=np.int32), A_max),  # src = arc // A_max
         np.asarray(token_graph.weight).reshape(-1),
         np.asarray(token_graph.final_weight),
+        None if alt_arcs is None else np.asarray(alt_arcs),
+        None if alt_scores is None else np.asarray(alt_scores),
     )
 
 
-def confusion_network(lat: Lattice) -> list[dict[int, float]]:
+def confusion_network(lat: Lattice, max_links: int = 512) -> list[dict[int, float]]:
     """Exact confusion network by Mangu–Brill–Stolcke clustering.
 
     Adapted to the token lattice (links are instantaneous word emissions at
@@ -145,6 +300,10 @@ def confusion_network(lat: Lattice) -> list[dict[int, float]]:
     A ≺ X ≺ B for some X would imply A ≺ B by transitivity, contradicting
     parallelism, so the greedy merge is always legal (MBS Lemma 1).
     Reference `asr/lattice/` consensus [K].
+
+    The clustering is O(n²–n³) host Python in the number of word-emitting
+    links; `max_links` guards real utterance lattices — beyond it, use
+    `consensus_binned` (time-binned approximation) instead.
     """
     T, K = lat.states.shape
     post = lat.posteriors()
@@ -161,6 +320,12 @@ def confusion_network(lat: Lattice) -> list[dict[int, float]]:
     n = len(links)
     if n == 0:
         return []
+    if n > max_links:
+        raise ValueError(
+            f"confusion_network: {n} word links exceeds max_links={max_links} "
+            "(the exact MBS clustering is O(n^2-n^3) host Python); use "
+            "consensus_binned for long lattices or raise max_links explicitly"
+        )
     link_at = {(t, k): i for i, (t, k, _, _) in enumerate(links)}
 
     # ---- 2. exact partial order via slot-DAG reachability --------------

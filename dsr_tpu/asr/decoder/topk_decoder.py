@@ -179,7 +179,7 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, start, final_w,
         return prev, olab
 
     _, olabs = jax.lax.scan(back, best_state, (ts, tok_states, tok_arcs), reverse=True)
-    return olabs, best_score, tok_states, tok_arcs, tok_scores
+    return (olabs, best_score, tok_states, tok_arcs, tok_scores) + outs[3:]
 
 
 def decode(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
@@ -190,9 +190,13 @@ def decode(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
 
 
 def decode_with_tokens(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
-                       beam: float = 1e9, length=None):
+                       beam: float = 1e9, length=None, nlat: int = 0):
     """Full decode returning the token lattice arrays:
-    (olabels, score, tok_states (T,K), tok_arcs (T,K), tok_scores (T,K))."""
+    (olabels, score, tok_states (T,K), tok_arcs (T,K), tok_scores (T,K))
+    [+ alt_arcs (T,K,nlat), alt_scores (T,K,nlat) when nlat > 0: the top-N
+    incoming arcs per surviving token with their path scores — the TRUE
+    lattice links for sum-posterior forward-backward and oracle search
+    (reference asr/lattice [K])]."""
     T = loglik.shape[0]
     kcap = min(kcap, graph.num_states)
     length = jnp.asarray(T if length is None else length, jnp.int32)
@@ -200,6 +204,7 @@ def decode_with_tokens(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
         loglik, length, graph.pdf, graph.olabel, graph.weight, graph.dst,
         graph.start, graph.final_weight,
         num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
+        nlat=min(nlat, graph.a_max * kcap),
     )
 
 
