@@ -110,6 +110,27 @@ def apply_weights(X: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...kn,...ntk->...tk", jnp.conj(w), X)
 
 
+def ds_beamform(X: jnp.ndarray, taus_sec: jnp.ndarray, M: int,
+                sample_rate: float) -> jnp.ndarray:
+    """Fused fractional-delay steering + delay-and-sum (HOT LOOP of
+    SURVEY.md §3.1/§3.5): X (N, T, K) complex, taus (N,) static or (T, N)
+    per-frame trajectory (tracking front end) → (T, K).
+
+    XLA is the production path ON MEASUREMENT: this op is transcendental-
+    bound (sin/cos of the manifold phases) and XLA's fused elementwise
+    lowering beats the Pallas kernel 2.5x on-chip (68 vs 172 µs for
+    16ch×1000fr; tools/bench_kernels.py / KERNELS.md) — the kernel
+    (`ops/pallas/steering.py`) is kept as the measured counter-example.
+    Equals `apply_weights(X, ds_weights(steering_vectors(...)))` per frame.
+    """
+    taus = jnp.asarray(taus_sec, jnp.float32)
+    if taus.ndim == 1:
+        v = steering_vectors(taus, M, sample_rate)
+        return apply_weights(X, ds_weights(v))
+    v_t = steering_vectors(taus, M, sample_rate)         # (T, K, N)
+    return jnp.einsum("tkn,ntk->tk", jnp.conj(v_t), X) / X.shape[0]
+
+
 @jax.jit
 def _gsc_scan(X_tkn, wq, B, mu, eps, cap, wa0):
     """Sequential NLMS over frames.  X_tkn: (T, K, N)."""
@@ -140,12 +161,22 @@ def gsc_nlms(
     wa_norm_cap: float = 10.0,
     wa0: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """GSC-NLMS, exact frame-sequential (golden-parity) path.
+    """GSC-NLMS, exact frame-sequential path.
 
     X: (N, T, K) → (Y: (T, K), wa: (K, N-1)).  State `wa0` can be threaded
     across chunks for streaming (SURVEY.md §5 long-context: chunked scan
     with carried adaptive-weight state).
+
+    On TPU this dispatches to the Pallas kernel (HOT LOOP 1: the whole
+    frame recurrence in one kernel, weights resident in VMEM) — measured
+    4.0× the XLA scan for 8ch×1000fr (see tools/bench_kernels.py); numerics
+    match to 1e-5 (tests/test_pallas.py).  CPU keeps the XLA scan
+    (golden-parity reference path).
     """
+    if jax.default_backend() != "cpu":
+        from dsr_tpu.ops.pallas import gsc as _pgsc
+
+        return _pgsc.gsc_nlms(X, wq, B, mu, eps, wa_norm_cap, wa0)
     X_tkn = jnp.transpose(X, (1, 2, 0))  # (T, K, N)
     return _gsc_scan(
         X_tkn,

@@ -24,14 +24,15 @@ from dsr_tpu.ops.pallas import use_interpret
 LANES = 128
 
 
-def _gsc_kernel(xr_ref, xi_ref, wqr_ref, wqi_ref, br_ref, bi_ref,
-                yr_ref, yi_ref, war, wai, *, N, mu, eps, cap):
+def _gsc_kernel(xr_ref, xi_ref, wqr_ref, wqi_ref, br_ref, bi_ref, w0r_ref, w0i_ref,
+                yr_ref, yi_ref, wfr_ref, wfi_ref, war, wai, *, N, mu, eps, cap):
     t = pl.program_id(0)
+    T = pl.num_programs(0)
 
     @pl.when(t == 0)
     def _():
-        war[...] = jnp.zeros_like(war)
-        wai[...] = jnp.zeros_like(wai)
+        war[...] = w0r_ref[...]
+        wai[...] = w0i_ref[...]
 
     xr = xr_ref[0]  # (N, Kp)
     xi = xi_ref[0]
@@ -67,11 +68,16 @@ def _gsc_kernel(xr_ref, xi_ref, wqr_ref, wqi_ref, br_ref, bi_ref,
     war[...] = wr * scale
     wai[...] = wi * scale
 
+    @pl.when(t == T - 1)
+    def _emit_wa():
+        wfr_ref[...] = war[...]
+        wfi_ref[...] = wai[...]
+
 
 @functools.partial(jax.jit, static_argnames=("mu", "eps", "cap"))
-def _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, mu: float, eps: float, cap: float):
+def _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, w0r, w0i, mu: float, eps: float, cap: float):
     T, N, Kp = Xr.shape
-    yr, yi = pl.pallas_call(
+    yr, yi, wfr, wfi = pl.pallas_call(
         functools.partial(_gsc_kernel, N=N, mu=mu, eps=eps, cap=cap),
         grid=(T,),
         in_specs=[
@@ -81,31 +87,39 @@ def _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, mu: float, eps: float, cap: float):
             pl.BlockSpec((N, Kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N - 1, Kp), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N - 1, Kp), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N - 1, Kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N - 1, Kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, Kp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Kp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N - 1, Kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N - 1, Kp), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, 1, Kp), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((N - 1, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((N - 1, Kp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N - 1, Kp), jnp.float32),
             pltpu.VMEM((N - 1, Kp), jnp.float32),
         ],
         interpret=use_interpret(),
-    )(Xr, Xi, wqr, wqi, Br, Bi)
-    return yr[:, 0], yi[:, 0]
+    )(Xr, Xi, wqr, wqi, Br, Bi, w0r, w0i)
+    return yr[:, 0], yi[:, 0], wfr, wfi
 
 
 def gsc_nlms(X: jnp.ndarray, wq: jnp.ndarray, B: jnp.ndarray,
-             mu: float = 0.1, eps: float = 1e-6, wa_norm_cap: float = 10.0):
+             mu: float = 0.1, eps: float = 1e-6, wa_norm_cap: float = 10.0,
+             wa0: jnp.ndarray | None = None):
     """Pallas GSC: X (N, T, K) or batched (Bb, N, T, K), wq (..., K, N),
-    B (..., K, N, N-1) → Y (..., T, K).
+    B (..., K, N, N-1), wa0 (..., K, N-1) or None
+    → (Y (..., T, K), wa (..., K, N-1)).
 
-    Same semantics as `dsr_tpu.ops.beamforming.gsc_nlms` (without wa0
-    threading; final weights are not returned by this fused path).
+    Same semantics as `dsr_tpu.ops.beamforming.gsc_nlms`, including wa0
+    threading for streaming chunks.
 
     Batching folds the utterance axis into the LANE dimension (Kp → Bb·Kp):
     every kernel op is lane-wise or a sublane reduction, so a batch of
@@ -116,6 +130,8 @@ def gsc_nlms(X: jnp.ndarray, wq: jnp.ndarray, B: jnp.ndarray,
     batched = X.ndim == 4
     if not batched:
         X, wq, B = X[None], wq[None], B[None]
+        if wa0 is not None:
+            wa0 = wa0[None]
     Bb, N, T, K = X.shape
     Kp = ((K + LANES - 1) // LANES) * LANES
     pad = Kp - K
@@ -136,9 +152,21 @@ def gsc_nlms(X: jnp.ndarray, wq: jnp.ndarray, B: jnp.ndarray,
     # the kernel's z-accumulation computes conj(B)·x itself
     Br = prep(jnp.real(Bt))                              # (N, N-1, Bb·Kp)
     Bi = prep(jnp.imag(Bt))
+    if wa0 is None:
+        # eager complex allocation hits UNIMPLEMENTED on axon — build the
+        # zero state as float parts directly
+        w0r = jnp.zeros((N - 1, Bb * Kp), jnp.float32)
+        w0i = jnp.zeros((N - 1, Bb * Kp), jnp.float32)
+    else:
+        w0t = jnp.transpose(wa0, (0, 2, 1))              # (Bb, N-1, K)
+        w0r = prep(jnp.real(w0t))
+        w0i = prep(jnp.imag(w0t))
     # guard padded lanes: znorm of zero-padded lanes is 0 → g = mu/eps large,
     # but z and y there are 0 so updates stay 0.  Safe.
-    yr, yi = _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, float(mu), float(eps), float(wa_norm_cap))
+    yr, yi, wfr, wfi = _gsc_impl(Xr, Xi, wqr, wqi, Br, Bi, w0r, w0i,
+                                 float(mu), float(eps), float(wa_norm_cap))
     Y = jax.lax.complex(yr, yi).reshape(T, Bb, Kp)[..., :K]  # (T, Bb, K)
     Y = jnp.moveaxis(Y, 1, 0)
-    return Y if batched else Y[0]
+    wa = jax.lax.complex(wfr, wfi).reshape(N - 1, Bb, Kp)[..., :K]
+    wa = jnp.transpose(wa, (1, 2, 0))                    # (Bb, K, N-1)
+    return (Y, wa) if batched else (Y[0], wa[0])

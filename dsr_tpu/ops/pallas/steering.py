@@ -7,6 +7,13 @@ applies the distortionless DS weights in one pass — the (K, N) manifold is
 never materialised in HBM.  Supports a per-frame delay trajectory (the
 tracking front end updates τ over time, SURVEY.md §3.5): taus (T, N) or
 static (N,).  Numerics match steering_vectors + ds_weights + apply_weights.
+
+MEASURED: XLA WINS this loop (68 µs vs 172 µs Pallas for 16ch×1000fr
+on-chip, tiles 8 and 64 tried — tools/bench_kernels.py).  The op is
+transcendental-bound and XLA's fused sin/cos lowering already avoids the
+HBM manifold; the kernel buys nothing and pays per-grid-step overhead.
+`ops/beamforming.ds_beamform` therefore ships the XLA path; this kernel is
+kept as the recorded counter-example (same policy as the dense decoder).
 """
 
 from __future__ import annotations

@@ -99,11 +99,19 @@ def test_gsc_kernel_matches_scan():
     X = (rng.standard_normal((N, T, K)) + 1j * rng.standard_normal((N, T, K))).astype(
         np.complex64
     )
-    Y_ref, _ = jbf.gsc_nlms(X, wq, B, mu=0.1)
-    Y_pal = pgsc.gsc_nlms(X, wq, B, mu=0.1)
+    Y_ref, wa_ref = jbf.gsc_nlms(X, wq, B, mu=0.1)
+    Y_pal, wa_pal = pgsc.gsc_nlms(X, wq, B, mu=0.1)
     assert np.max(np.abs(np.asarray(Y_pal) - np.asarray(Y_ref))) / np.max(
         np.abs(np.asarray(Y_ref))
     ) < 1e-5
+    assert np.max(np.abs(np.asarray(wa_pal) - np.asarray(wa_ref))) < 1e-5
+    # wa0 threading: decode the second half seeded with the first half's
+    # weights == one full pass
+    Y1, wa1 = pgsc.gsc_nlms(X[:, : T // 2], wq, B, mu=0.1)
+    Y2, wa2 = pgsc.gsc_nlms(X[:, T // 2 :], wq, B, mu=0.1, wa0=wa1)
+    assert np.max(np.abs(np.concatenate([np.asarray(Y1), np.asarray(Y2)])
+                         - np.asarray(Y_pal))) < 1e-5
+    assert np.max(np.abs(np.asarray(wa2) - np.asarray(wa_pal))) < 1e-5
 
 
 def test_steering_kernel_matches_composed_ops():
@@ -190,7 +198,7 @@ def test_gsc_kernel_batched_matches_scan():
         Y_ref, _ = jbf.gsc_nlms(X, wq, Bm, mu=0.1)
         wqs.append(wq); Bs.append(Bm); Xs.append(X); refs.append(np.asarray(Y_ref))
     Y_pal = np.asarray(pgsc.gsc_nlms(
-        np.stack(Xs), np.stack(wqs), np.stack(Bs), mu=0.1))
+        np.stack(Xs), np.stack(wqs), np.stack(Bs), mu=0.1)[0])
     ref = np.stack(refs)
     assert Y_pal.shape == ref.shape
     assert np.max(np.abs(Y_pal - ref)) / np.max(np.abs(ref)) < 1e-5
