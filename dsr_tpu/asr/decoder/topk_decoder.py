@@ -74,30 +74,26 @@ def build_token_graph(g: PackedGraph) -> TokenGraph:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap", "nlat"))
-def _decode_impl(loglik, length, pdf, olabel, weight, dst, start, final_w,
-                 *, num_states, a_max, kcap, beam, nlat=0):
-    T = loglik.shape[0]
+def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
+               nlat, num_pdfs):
+    """Build the per-frame token-expansion step shared by the whole-
+    utterance scan (`_decode_impl`) and the streaming chunk scan
+    (`_decode_chunk_impl`)."""
     S = num_states
-
-    states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(start)
-    scores0 = jnp.full((kcap,), NEG, jnp.float32).at[0].set(0.0)
-
     # Cross-lane gathers serialise on the TPU; for small/medium graphs the
     # token-row lookups are cheaper as one-hot matmuls on the MXU.  (Row
     # ids are exact in f32 below 2^24.)
-    P = loglik.shape[-1]
-    use_onehot = S <= 2048 and P <= 1024
+    use_onehot = S <= 2048 and num_pdfs <= 1024
     if use_onehot:
         iota_s = jnp.arange(S, dtype=jnp.int32)
-        iota_p = jnp.arange(P, dtype=jnp.int32)
+        iota_p = jnp.arange(num_pdfs, dtype=jnp.int32)
         wgt_f = weight
         pdf_f = pdf.astype(jnp.float32)
         dst_f = dst.astype(jnp.float32)
 
     def step(carry, inp):
         states, scores = carry
-        t, ll = inp
+        t, length, ll = inp
         if use_onehot:
             oh = (states[:, None] == iota_s[None, :]).astype(jnp.float32)
             w = oh @ wgt_f                                   # (kcap, a_max)
@@ -150,9 +146,93 @@ def _decode_impl(loglik, length, pdf, olabel, weight, dst, start, final_w,
             out = out + (alt_arcs, alt_scores)
         return (states_out, scores_out), out
 
+    return step
+
+
+def stream_start(graph: TokenGraph, kcap: int = 256):
+    """Initial streaming carry: the start-state token."""
+    kcap = min(kcap, graph.num_states)
+    states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(graph.start)
+    scores0 = jnp.full((kcap,), NEG, jnp.float32).at[0].set(0.0)
+    return states0, scores0
+
+
+@functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap", "nlat"))
+def _decode_chunk_impl(loglik, states0, scores0, pdf, olabel, weight, dst,
+                       *, num_states, a_max, kcap, beam, nlat=0):
+    T = loglik.shape[0]
+    step = _make_step(pdf, olabel, weight, dst, num_states=num_states,
+                      a_max=a_max, kcap=kcap, beam=beam, nlat=nlat,
+                      num_pdfs=loglik.shape[-1])
+    ts = jnp.zeros((T,), jnp.int32)          # t < length always (full chunk)
+    lens = jnp.ones((T,), jnp.int32)
+    return jax.lax.scan(step, (states0, scores0), (ts, lens, loglik))
+
+
+def decode_chunk(graph: TokenGraph, loglik: jnp.ndarray, carry,
+                 kcap: int = 256, beam: float = 1e9, nlat: int = 0):
+    """Streaming decode of one chunk (SURVEY.md §5 long-context: chunked
+    scan with carried decoder state).
+
+    carry = (states (kcap,), scores (kcap,)) from `stream_start` or the
+    previous chunk.  Returns (new_carry, (tok_states, tok_arcs, tok_scores
+    [, alt_arcs, alt_scores])) — accumulate the token arrays and run
+    `traceback` at utterance end; the result is IDENTICAL to the
+    whole-utterance decode (the scan carry is the decoder's only state).
+    """
+    kcap = min(kcap, graph.num_states)
+    return _decode_chunk_impl(
+        loglik, carry[0], carry[1], graph.pdf, graph.olabel, graph.weight,
+        graph.dst, num_states=graph.num_states, a_max=graph.a_max, kcap=kcap,
+        beam=beam, nlat=min(nlat, graph.a_max * kcap),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("a_max",))
+def _traceback_impl(tok_states, tok_arcs, states_f, scores_f, final_w, olabel,
+                    *, a_max):
+    T = tok_states.shape[0]
+    total = scores_f + final_w[states_f]
+    total = jnp.where(jnp.max(total) > NEG / 2, total, scores_f)
+    best_slot = jnp.argmax(total)
+    best_state = states_f[best_slot]
+    best_score = total[best_slot]
+
+    def back(state, inp):
+        sts, arcs = inp
+        slot = jnp.argmax(sts == state)
+        arc = arcs[slot]
+        valid = arc >= 0
+        prev = jnp.where(valid, jnp.maximum(arc, 0) // a_max, state)
+        olab = jnp.where(valid, olabel.reshape(-1)[jnp.maximum(arc, 0)], 0)
+        return prev, olab
+
+    _, olabs = jax.lax.scan(back, best_state, (tok_states, tok_arcs),
+                            reverse=True)
+    return olabs, best_score
+
+
+def traceback(graph: TokenGraph, tok_states, tok_arcs, carry):
+    """Utterance-final traceback over accumulated (possibly concatenated)
+    streaming token arrays → (olabels (T,), score)."""
+    states_f, scores_f = carry
+    return _traceback_impl(tok_states, tok_arcs, states_f, scores_f,
+                           graph.final_weight, graph.olabel, a_max=graph.a_max)
+
+
+@functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap", "nlat"))
+def _decode_impl(loglik, length, pdf, olabel, weight, dst, start, final_w,
+                 *, num_states, a_max, kcap, beam, nlat=0):
+    T = loglik.shape[0]
+    states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(start)
+    scores0 = jnp.full((kcap,), NEG, jnp.float32).at[0].set(0.0)
+    step = _make_step(pdf, olabel, weight, dst, num_states=num_states,
+                      a_max=a_max, kcap=kcap, beam=beam, nlat=nlat,
+                      num_pdfs=loglik.shape[-1])
     ts = jnp.arange(T)
+    lens = jnp.full((T,), length)
     (states_f, scores_f), outs = jax.lax.scan(
-        step, (states0, scores0), (ts, loglik)
+        step, (states0, scores0), (ts, lens, loglik)
     )
     tok_states, tok_arcs, tok_scores = outs[:3]
     total = scores_f + final_w[states_f]

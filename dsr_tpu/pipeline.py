@@ -134,3 +134,113 @@ class DsrPipeline:
             Y, gsc_state = self.beamform_subbands(A, source_pos, gsc_state)
             y = np.asarray(jfb.synthesis(Y, self.fb, buf.shape[-1]))
             yield y[emitted - buf_start :]
+
+    def process_streaming_subbands(self, chunks, source_pos: np.ndarray):
+        """Iterate (N, block) chunks → yields MATURE beamformed subband
+        frames (Tc, K) complex, frame-exact vs offline `process`.
+
+        Frame g of the offline analysis covers x[g·D−P, g·D−P+L); it is
+        emitted once its window lies fully inside consumed input.  The
+        carried buffer keeps ≥ 2L samples trimmed to a D-aligned global
+        offset, so re-analysed boundary frames see exactly the offline
+        window (the chunk-local zero pad only ever touches frames already
+        emitted).  Fixed beamformers (ds/mvdr) are frame-local → streamed
+        output == offline frames; GSC re-adapts over the overlap (same
+        approximation as `process_streaming`).
+        """
+        D, L = self.fb.D, self.fb.L
+        mr = L // D
+        gsc_state = None
+        buf = None
+        consumed = 0
+        emitted_f = 0           # global frames emitted
+        last = False
+        chunks = iter(chunks)
+        pending = next(chunks, None)
+        while pending is not None:
+            chunk = np.asarray(pending, np.float32)
+            pending = next(chunks, None)
+            last = pending is None
+            buf = chunk if buf is None else np.concatenate([buf, chunk], axis=-1)
+            consumed += chunk.shape[-1]
+            buf_start = consumed - buf.shape[-1]
+            A = jfb.analysis(jnp.asarray(buf), self.fb)
+            Y, gsc_state = self.beamform_subbands(A, source_pos, gsc_state)
+            T_local = A.shape[-2]
+            if last:
+                mf = buf_start // D + T_local      # flush: all local frames
+            else:
+                mf = consumed // D                 # fully-windowed frames only
+            lo = emitted_f - buf_start // D
+            hi = mf - buf_start // D
+            if hi > lo:
+                yield Y[..., lo:hi, :]
+                emitted_f = mf
+            keep = min(buf.shape[-1], 2 * L + (consumed % D))
+            buf = buf[..., -keep:]
+
+
+class StreamingRecognizer:
+    """End-to-end streaming recognition: multi-channel audio chunks in,
+    words out, equal to the full-utterance decode (SURVEY.md §5
+    long-context; VERDICT round-1 item 7).
+
+    The carried state is exactly (a) the frontend's sample buffer,
+    (b) the beamformer's adaptive weights (if any), and (c) the decoder's
+    (states, scores) token carry — everything else is frame-local.  Token
+    arrays accumulate per chunk; `finish()` runs the utterance-final
+    traceback (the reference decoders' behaviour).
+
+    `loglik_fn`: features (T, D) → (T, P) acoustic log-likelihoods (e.g.
+    `functools.partial(gmm.loglik, params)`).  `cep_mean`: fixed cepstral
+    mean to subtract (utterance-level CMN is not causal; production
+    streaming uses a precomputed/global mean).
+    """
+
+    def __init__(self, pipe: DsrPipeline, loglik_fn, token_graph,
+                 source_pos: np.ndarray, kcap: int = 256, beam: float = 1e9,
+                 cep_mean: np.ndarray | None = None):
+        from dsr_tpu.asr.decoder import topk_decoder as _tk
+
+        self._tk = _tk
+        self.pipe = pipe
+        self.loglik_fn = loglik_fn
+        self.graph = token_graph
+        self.source_pos = np.asarray(source_pos)
+        self.kcap = min(kcap, token_graph.num_states)
+        self.beam = beam
+        self.cep_mean = None if cep_mean is None else jnp.asarray(cep_mean)
+        self.carry = _tk.stream_start(token_graph, self.kcap)
+        self._toks: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def _feats(self, Y):
+        fe = self.pipe.frontend
+        f = jft.mfcc_from_subbands(
+            Y, self.pipe.fb.M, fe.sample_rate, num_mel=fe.num_mel,
+            num_cepstra=fe.num_cepstra, fmin=fe.fmin, fmax=fe.fmax,
+            vtln_warp=fe.vtln_warp,
+        )
+        if self.cep_mean is not None:
+            f = f - self.cep_mean
+        return f
+
+    def run(self, chunks):
+        """Consume an iterable of (N, block) chunks; returns
+        (words (list of olabel ids), score) — identical to decoding the
+        concatenated utterance offline (with the same fixed cep_mean)."""
+        for Y in self.pipe.process_streaming_subbands(chunks, self.source_pos):
+            ll = self.loglik_fn(self._feats(Y))
+            self.carry, toks = self._tk.decode_chunk(
+                self.graph, ll, self.carry, self.kcap, self.beam
+            )
+            self._toks.append((np.asarray(toks[0]), np.asarray(toks[1])))
+        return self.finish()
+
+    def finish(self):
+        tok_states = np.concatenate([t for t, _ in self._toks], axis=0)
+        tok_arcs = np.concatenate([a for _, a in self._toks], axis=0)
+        olabs, score = self._tk.traceback(
+            self.graph, jnp.asarray(tok_states), jnp.asarray(tok_arcs), self.carry
+        )
+        words = [int(w) for w in np.asarray(olabs) if w]
+        return words, float(score)
