@@ -56,12 +56,23 @@ def ring_attention(q, k, v, axis_name: str, bias_table=None, max_dist: int = 128
     scale = 1.0 / np.sqrt(dh)
     qpos = rank * Tl + jnp.arange(Tl)
 
-    m = jnp.full((*q.shape[:-3], H, Tl), -jnp.inf, q.dtype)      # running max
-    l = jnp.zeros((*q.shape[:-3], H, Tl), q.dtype)               # running denom
-    acc = jnp.zeros_like(q)
+    # constants are replicated-typed under shard_map; the loop rotates them
+    # per rank, so mark the whole carry varying up front (no-op for values
+    # that already vary over the axis)
+    def vary(x):
+        try:
+            if axis_name in jax.typeof(x).vma:
+                return x
+        except AttributeError:
+            pass
+        return lax.pcast(x, axis_name, to="varying")
+    m = vary(jnp.full((*q.shape[:-3], H, Tl), -jnp.inf, q.dtype))  # running max
+    l = vary(jnp.zeros((*q.shape[:-3], H, Tl), q.dtype))           # running denom
+    acc = vary(jnp.zeros_like(q))
     perm = [(i, (i + 1) % n) for i in range(n)]
     if kv_mask is None:
         kv_mask = jnp.ones((*k.shape[:-3], Tl), bool)
+    kv_mask = vary(kv_mask)
 
     def step(j, carry):
         m, l, acc, k, v, kv_mask = carry

@@ -30,11 +30,26 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
 
 
 def initialize_distributed(coordinator: str | None = None, num_processes: int | None = None,
-                           process_id: int | None = None) -> None:
+                           process_id: int | None = None,
+                           heartbeat_timeout_s: float | None = None) -> None:
     """Multi-host runtime init (jax.distributed) — the reference's grid-job
     scale-out story becomes a real communication backend (SURVEY.md §2.3).
+
+    Liveness: jax.distributed's coordination service heartbeats every
+    process; `heartbeat_timeout_s` bounds how long a dead host can stall a
+    collective before the step fails.  The failure unit is then the WORK
+    ITEM — `utils/heartbeat.LeaseBoard` + `run_recoverable` make a dead
+    worker's batches re-claimable by survivors (SURVEY.md §5 failure
+    detection / elastic recovery; tests/test_failure_recovery.py drills a
+    mid-batch SIGKILL).
 
     No-op when single-process (the only mode testable in this environment).
     """
     if num_processes and num_processes > 1:
-        jax.distributed.initialize(coordinator, num_processes, process_id)
+        kw = {}
+        if heartbeat_timeout_s is not None:
+            kw["heartbeat_timeout"] = heartbeat_timeout_s
+        try:
+            jax.distributed.initialize(coordinator, num_processes, process_id, **kw)
+        except TypeError:  # older jax: no heartbeat_timeout parameter
+            jax.distributed.initialize(coordinator, num_processes, process_id)

@@ -2,16 +2,20 @@
 
 Multi-chip hardware is unavailable; all sharded code paths are exercised on
 a simulated 8-device CPU mesh.  Kernel correctness on the real TPU chip is
-covered separately by bench.py / __graft_entry__.py runs.
+covered by `tools/run_pallas_on_tpu.py` (runs the test_pallas.py cases
+non-interpreted on the chip: DSR_TPU_TESTS=1 keeps the axon backend) and by
+bench.py / __graft_entry__.py runs.
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+ON_TPU = bool(os.environ.get("DSR_TPU_TESTS"))
+if not ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -20,9 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the env var alone is not enough — override the live config too.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-
-assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 # NaN-guard test mode (SURVEY.md §5 sanitizer analogue): DSR_DEBUG_NANS=1
 # flips jax_debug_nans for the WHOLE suite; the `debug_nans` fixture scopes

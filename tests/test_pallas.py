@@ -12,6 +12,7 @@ from dsr_tpu.ops.pallas import filterbank as pfb
 from dsr_tpu.ops.pallas import gsc as pgsc
 from dsr_tpu.ops.pallas import steering as psteer
 from dsr_tpu.ops.pallas import viterbi as pvit
+from dsr_tpu.utils.hostxfer import from_host, to_host
 
 SR = 16000.0
 CFG = FilterbankConfig(M=256, m=4, r=2)  # D=128: Pallas-supported config
@@ -19,8 +20,8 @@ CFG = FilterbankConfig(M=256, m=4, r=2)  # D=128: Pallas-supported config
 
 def test_analysis_matches_xla():
     x = np.random.default_rng(0).standard_normal((2, 20000)).astype(np.float32)
-    A_x = np.asarray(jfb.analysis(x, CFG))
-    A_p = np.asarray(pfb.analysis(x, CFG))
+    A_x = to_host(jfb.analysis(x, CFG))
+    A_p = to_host(pfb.analysis(x, CFG))
     assert A_x.shape == A_p.shape
     assert np.max(np.abs(A_x - A_p)) / np.max(np.abs(A_x)) < 1e-5
 
@@ -56,8 +57,8 @@ def test_fused_analysis_beamform_matches_unfused():
 
     w = jbf.mvdr_weights(jbf.steering_vectors(jnp.asarray(taus), CFG.M, SR), Gamma)
     x = rng.standard_normal((N, 40960)).astype(np.float32)  # T=313 → 2 tiles
-    Y_ref = np.asarray(jbf.apply_weights(jfb.analysis(x, CFG), w))
-    Y_fused = np.asarray(pfb.analysis_beamform(jnp.asarray(x), w, CFG))
+    Y_ref = to_host(jbf.apply_weights(jfb.analysis(x, CFG), w))
+    Y_fused = to_host(pfb.analysis_beamform(jnp.asarray(x), w, CFG))
     assert Y_fused.shape == Y_ref.shape
     assert np.max(np.abs(Y_fused - Y_ref)) / np.max(np.abs(Y_ref)) < 1e-5
 
@@ -78,13 +79,25 @@ def test_fused_analysis_beamform_staged_bank():
     xs = rng.standard_normal((3, N, S)).astype(np.float32)
     xp = pfb.stage_for_beamform(jnp.asarray(xs), CFG)
     for b in (0, 2):
-        Y_ref = np.asarray(jbf.apply_weights(jfb.analysis(xs[b], CFG), w))
+        Y_ref = to_host(jbf.apply_weights(jfb.analysis(xs[b], CFG), w))
         for prec in ("highest", "bf16x3"):
-            Y = np.asarray(
+            Y = to_host(
                 pfb.analysis_beamform_staged(xp, b, w, CFG, S, precision=prec)
             )
             tol = 1e-5 if prec == "highest" else 3e-5
             assert np.max(np.abs(Y - Y_ref)) / np.max(np.abs(Y_ref)) < tol
+
+
+def _gsc_scan_ref(X, wq, B, mu):
+    """XLA-scan GSC reference, explicit (jbf.gsc_nlms dispatches to the
+    Pallas kernel on TPU, which would compare the kernel to itself)."""
+    import jax.numpy as jnp
+
+    Y, wa = jbf._gsc_scan(
+        jnp.transpose(from_host(X), (1, 2, 0)), from_host(wq), from_host(B),
+        jnp.float32(mu), jnp.float32(1e-6), jnp.float32(10.0), None,
+    )
+    return to_host(Y), to_host(wa)
 
 
 def test_gsc_kernel_matches_scan():
@@ -93,25 +106,26 @@ def test_gsc_kernel_matches_scan():
     rng = np.random.default_rng(2)
     N, T, K = 4, 40, M // 2 + 1
     taus = groom.steering_delays(POS, np.array([0.0, 1.0, 0.0]), 343.0, SR) / SR
-    v = np.asarray(jbf.steering_vectors(taus.astype(np.float32), M, SR))
+    vd = jbf.steering_vectors(taus.astype(np.float32), M, SR)
+    v = to_host(vd)
     wq = v / N
-    B = np.asarray(jbf.blocking_matrix(v))
+    B = to_host(jbf.blocking_matrix(vd))
     X = (rng.standard_normal((N, T, K)) + 1j * rng.standard_normal((N, T, K))).astype(
         np.complex64
     )
-    Y_ref, wa_ref = jbf.gsc_nlms(X, wq, B, mu=0.1)
-    Y_pal, wa_pal = pgsc.gsc_nlms(X, wq, B, mu=0.1)
-    assert np.max(np.abs(np.asarray(Y_pal) - np.asarray(Y_ref))) / np.max(
-        np.abs(np.asarray(Y_ref))
-    ) < 1e-5
-    assert np.max(np.abs(np.asarray(wa_pal) - np.asarray(wa_ref))) < 1e-5
+    Y_ref, wa_ref = _gsc_scan_ref(X, wq, B, 0.1)
+    Xd, wqd, Bd = from_host(X), from_host(wq), from_host(B)
+    Y_pal, wa_pal = pgsc.gsc_nlms(Xd, wqd, Bd, mu=0.1)
+    Y_pal, wa_pal = to_host(Y_pal), to_host(wa_pal)
+    assert np.max(np.abs(Y_pal - Y_ref)) / np.max(np.abs(Y_ref)) < 1e-5
+    assert np.max(np.abs(wa_pal - wa_ref)) < 1e-5
     # wa0 threading: decode the second half seeded with the first half's
     # weights == one full pass
-    Y1, wa1 = pgsc.gsc_nlms(X[:, : T // 2], wq, B, mu=0.1)
-    Y2, wa2 = pgsc.gsc_nlms(X[:, T // 2 :], wq, B, mu=0.1, wa0=wa1)
-    assert np.max(np.abs(np.concatenate([np.asarray(Y1), np.asarray(Y2)])
-                         - np.asarray(Y_pal))) < 1e-5
-    assert np.max(np.abs(np.asarray(wa2) - np.asarray(wa_pal))) < 1e-5
+    Y1, wa1 = pgsc.gsc_nlms(Xd[:, : T // 2], wqd, Bd, mu=0.1)
+    Y2, wa2 = pgsc.gsc_nlms(Xd[:, T // 2 :], wqd, Bd, mu=0.1, wa0=wa1)
+    assert np.max(np.abs(np.concatenate([to_host(Y1), to_host(Y2)])
+                         - Y_pal)) < 1e-5
+    assert np.max(np.abs(to_host(wa2) - wa_pal)) < 1e-5
 
 
 def test_steering_kernel_matches_composed_ops():
@@ -126,8 +140,9 @@ def test_steering_kernel_matches_composed_ops():
         np.complex64
     )
     v = jbf.steering_vectors(taus, M, SR)
-    Y_ref = np.asarray(jbf.apply_weights(X, jbf.ds_weights(v)))
-    Y_pal = np.asarray(psteer.ds_beamform(X, taus, M, SR))
+    Xd = from_host(X)
+    Y_ref = to_host(jbf.apply_weights(Xd, jbf.ds_weights(v)))
+    Y_pal = to_host(psteer.ds_beamform(Xd, taus, M, SR))
     assert np.max(np.abs(Y_pal - Y_ref)) / np.max(np.abs(Y_ref)) < 1e-4
 
 
@@ -146,11 +161,12 @@ def test_steering_kernel_time_varying_delays():
             for t in range(T)
         ]
     ).astype(np.float32)
-    Y_pal = np.asarray(psteer.ds_beamform(X, taus_t, M, SR))
+    Xd = from_host(X)
+    Y_pal = to_host(psteer.ds_beamform(Xd, taus_t, M, SR))
     # frame t must equal the static-steering result at taus_t[t]
     for t in [0, T // 2, T - 1]:
         v = jbf.steering_vectors(taus_t[t], M, SR)
-        y_t = np.asarray(jbf.apply_weights(X[:, t : t + 1], jbf.ds_weights(v)))[0]
+        y_t = to_host(jbf.apply_weights(Xd[:, t : t + 1], jbf.ds_weights(v)))[0]
         assert np.max(np.abs(Y_pal[t] - y_t)) / np.max(np.abs(y_t)) < 1e-4
 
 
@@ -190,15 +206,17 @@ def test_gsc_kernel_batched_matches_scan():
     for b in range(Bb):
         taus = groom.steering_delays(
             POS, np.array([0.3 * b - 0.3, 1.0, 0.0]), 343.0, SR) / SR
-        v = np.asarray(jbf.steering_vectors(taus.astype(np.float32), M, SR))
+        vd = jbf.steering_vectors(taus.astype(np.float32), M, SR)
+        v = to_host(vd)
         wq = v / N
-        Bm = np.asarray(jbf.blocking_matrix(v))
+        Bm = to_host(jbf.blocking_matrix(vd))
         X = (rng.standard_normal((N, T, K)) + 1j * rng.standard_normal((N, T, K))
              ).astype(np.complex64)
-        Y_ref, _ = jbf.gsc_nlms(X, wq, Bm, mu=0.1)
-        wqs.append(wq); Bs.append(Bm); Xs.append(X); refs.append(np.asarray(Y_ref))
-    Y_pal = np.asarray(pgsc.gsc_nlms(
-        np.stack(Xs), np.stack(wqs), np.stack(Bs), mu=0.1)[0])
+        Y_ref, _ = _gsc_scan_ref(X, wq, Bm, 0.1)
+        wqs.append(wq); Bs.append(Bm); Xs.append(X); refs.append(Y_ref)
+    Y_pal = to_host(pgsc.gsc_nlms(
+        from_host(np.stack(Xs)), from_host(np.stack(wqs)),
+        from_host(np.stack(Bs)), mu=0.1)[0])
     ref = np.stack(refs)
     assert Y_pal.shape == ref.shape
     assert np.max(np.abs(Y_pal - ref)) / np.max(np.abs(ref)) < 1e-5
