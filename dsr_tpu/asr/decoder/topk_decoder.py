@@ -74,6 +74,21 @@ def build_token_graph(g: PackedGraph) -> TokenGraph:
     )
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _split_mm(oh, table, eq):
+    """Exact-to-f32 one-hot lookup as TWO bf16 MXU passes: the 0/1 one-hot
+    is exact in bf16 and the f32 table splits losslessly into hi+lo bf16
+    halves.  (A single default-precision pass would round the table to
+    bf16 — ~2^-8 relative — corrupting scores; HIGHEST costs 6 passes.)"""
+    th = table.astype(jnp.bfloat16)
+    tl = (table - th.astype(jnp.float32)).astype(jnp.bfloat16)
+    ohb = oh.astype(jnp.bfloat16)
+    return (jnp.einsum(eq, ohb, th, preferred_element_type=jnp.float32)
+            + jnp.einsum(eq, ohb, tl, preferred_element_type=jnp.float32))
+
+
 def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
                nlat, num_pdfs):
     """Build the per-frame token-expansion step shared by the whole-
@@ -81,30 +96,41 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
     (`_decode_chunk_impl`)."""
     S = num_states
     # Cross-lane gathers serialise on the TPU; for small/medium graphs the
-    # token-row lookups are cheaper as one-hot matmuls on the MXU.  (Row
-    # ids are exact in f32 below 2^24.)
+    # token-row lookups are cheaper as one-hot matmuls on the MXU.  Integer
+    # id tables go through HIGHEST-precision matmuls (ids above 256 are NOT
+    # representable in bf16); float tables use the 2-pass split (_split_mm).
     use_onehot = S <= 2048 and num_pdfs <= 1024
+    # HOT LOOP 4 (acoustic lookup per candidate arc): ll[pdfr] is a
+    # kcap·a_max-element gather from a tiny table — measured 477 µs/frame
+    # on-chip for the 340k-state LVCSR graph (62% of decode time); the
+    # one-hot MXU lookup is ~6x cheaper.  Gather only for huge pdf sets.
+    use_onehot_ll = num_pdfs <= 2048
     if use_onehot:
         iota_s = jnp.arange(S, dtype=jnp.int32)
-        iota_p = jnp.arange(num_pdfs, dtype=jnp.int32)
         wgt_f = weight
         pdf_f = pdf.astype(jnp.float32)
         dst_f = dst.astype(jnp.float32)
+    if use_onehot_ll:
+        iota_p = jnp.arange(num_pdfs, dtype=jnp.int32)
 
     def step(carry, inp):
         states, scores = carry
         t, length, ll = inp
         if use_onehot:
             oh = (states[:, None] == iota_s[None, :]).astype(jnp.float32)
-            w = oh @ wgt_f                                   # (kcap, a_max)
-            pdfr = (oh @ pdf_f).astype(jnp.int32)
-            cdst = (oh @ dst_f).astype(jnp.int32)
-            ohp = (pdfr[..., None] == iota_p[None, None, :]).astype(jnp.float32)
-            llv = jnp.einsum("kap,p->ka", ohp, ll)
+            w = _split_mm(oh, wgt_f, "ks,sa->ka")            # (kcap, a_max)
+            pdfr = jnp.einsum("ks,sa->ka", oh, pdf_f,
+                              precision=_HI).astype(jnp.int32)
+            cdst = jnp.einsum("ks,sa->ka", oh, dst_f,
+                              precision=_HI).astype(jnp.int32)
         else:
             w = weight[states]
             pdfr = pdf[states]
             cdst = dst[states]
+        if use_onehot_ll:
+            ohp = (pdfr[..., None] == iota_p[None, None, :]).astype(jnp.float32)
+            llv = _split_mm(ohp, ll, "kap,p->ka")
+        else:
             llv = ll[pdfr]
         cand = scores[:, None] + w + llv
         flat = cand.reshape(-1)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from dsr_tpu.asr.decoder.topk_decoder import NEG, TokenGraph
+from dsr_tpu.asr.decoder.topk_decoder import NEG, TokenGraph, _split_mm
 
 
 def pad_token_graph_states(g: TokenGraph, shards: int) -> TokenGraph:
@@ -102,7 +102,18 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
                 mine = (local >= 0) & (local < S_shard)
                 li = jnp.clip(local, 0, S_shard - 1)
                 w = jnp.where(mine[:, None], wgt[li], NEG)       # (kcap, A)
-                cand = scores[:, None] + w + llt[pdf[li]]
+                pdfr = pdf[li]
+                P = llt.shape[-1]
+                if P <= 2048:
+                    # HOT LOOP 4 lookup on the MXU (a kcap·A gather from a
+                    # tiny table measured 477 µs/frame on-chip; see
+                    # topk_decoder._make_step)
+                    ohp = (pdfr[..., None]
+                           == jnp.arange(P, dtype=jnp.int32)).astype(jnp.float32)
+                    llv = _split_mm(ohp, llt, "kap,p->ka")
+                else:
+                    llv = llt[pdfr]
+                cand = scores[:, None] + w + llv
                 flat = cand.reshape(-1)
                 fdst = dst[li].reshape(-1)
                 folab = ola[li].reshape(-1)

@@ -70,7 +70,9 @@ def test_topk_pruned_still_reasonable(system):
         olabs_t, score_t = tk.decode(tg, ll, kcap=24, beam=1e9)
         _, _, score_d = wd.decode(dev, ll)
         # pruned search can only lose log-prob mass, and little at kcap=24
-        assert float(score_t) <= float(score_d) + 1e-3
+        # tolerance is relative: the two decoders sum the same path in
+        # different f32 orders (top-K uses the split-bf16 MXU lookup)
+        assert float(score_t) <= float(score_d) + 1e-3 + 1e-6 * abs(float(score_d))
         assert float(score_t) > float(score_d) - 5.0
 
 
