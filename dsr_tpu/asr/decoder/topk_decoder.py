@@ -90,7 +90,7 @@ def _split_mm(oh, table, eq):
 
 
 def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
-               nlat, num_pdfs):
+               nlat, num_pdfs, approx_topk=False):
     """Build the per-frame token-expansion step shared by the whole-
     utterance scan (`_decode_impl`) and the streaming chunk scan
     (`_decode_chunk_impl`)."""
@@ -110,6 +110,14 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
         wgt_f = weight
         pdf_f = pdf.astype(jnp.float32)
         dst_f = dst.astype(jnp.float32)
+    else:
+        # ONE row-gather instead of three: weight/pdf/dst pack into a
+        # single f32 table (ids are exact in f32 below 2^24); TPU gathers
+        # pay per ROW, so 3 tables cost ~2x one wide table (measured
+        # 101 vs 52 µs/frame at kcap=256).
+        packed = jnp.concatenate(
+            [weight, pdf.astype(jnp.float32), dst.astype(jnp.float32)], axis=1
+        )
     if use_onehot_ll:
         iota_p = jnp.arange(num_pdfs, dtype=jnp.int32)
 
@@ -124,9 +132,10 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
             cdst = jnp.einsum("ks,sa->ka", oh, dst_f,
                               precision=_HI).astype(jnp.int32)
         else:
-            w = weight[states]
-            pdfr = pdf[states]
-            cdst = dst[states]
+            rows = packed[states]                            # (kcap, 3·a_max)
+            w = rows[:, :a_max]
+            pdfr = rows[:, a_max:2 * a_max].astype(jnp.int32)
+            cdst = rows[:, 2 * a_max:].astype(jnp.int32)
         if use_onehot_ll:
             ohp = (pdfr[..., None] == iota_p[None, None, :]).astype(jnp.float32)
             llv = _split_mm(ohp, ll, "kap,p->ka")
@@ -146,7 +155,13 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
         # beam prune + top-K (histogram prune analogue)
         mx = jnp.max(val)
         val = jnp.where(val > mx - beam, val, NEG)
-        new_scores, idx = jax.lax.top_k(val, kcap)
+        if approx_topk:
+            # opt-in histogram-prune approximation: ~0.95 recall of the
+            # exact top-K, 64 vs 96 µs/frame on-chip — another prune knob
+            # beside the beam (keep exact for sharded==single parity)
+            new_scores, idx = jax.lax.approx_max_k(val, kcap, recall_target=0.95)
+        else:
+            new_scores, idx = jax.lax.top_k(val, kcap)
         alive = new_scores > NEG / 2
         new_states = jnp.where(alive, sd[idx], 0).astype(jnp.int32)
         keep = t < length
@@ -246,15 +261,16 @@ def traceback(graph: TokenGraph, tok_states, tok_arcs, carry):
                            graph.final_weight, graph.olabel, a_max=graph.a_max)
 
 
-@functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap", "nlat"))
+@functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap", "nlat",
+                                              "approx_topk"))
 def _decode_impl(loglik, length, pdf, olabel, weight, dst, start, final_w,
-                 *, num_states, a_max, kcap, beam, nlat=0):
+                 *, num_states, a_max, kcap, beam, nlat=0, approx_topk=False):
     T = loglik.shape[0]
     states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(start)
     scores0 = jnp.full((kcap,), NEG, jnp.float32).at[0].set(0.0)
     step = _make_step(pdf, olabel, weight, dst, num_states=num_states,
                       a_max=a_max, kcap=kcap, beam=beam, nlat=nlat,
-                      num_pdfs=loglik.shape[-1])
+                      num_pdfs=loglik.shape[-1], approx_topk=approx_topk)
     ts = jnp.arange(T)
     lens = jnp.full((T,), length)
     (states_f, scores_f), outs = jax.lax.scan(
@@ -315,13 +331,14 @@ def decode_with_tokens(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
 
 
 def decode_batch(graph: TokenGraph, loglik: jnp.ndarray, lengths, kcap: int = 256,
-                 beam: float = 1e9):
+                 beam: float = 1e9, approx_topk: bool = False):
     kcap = min(kcap, graph.num_states)
     f = jax.vmap(
         lambda ll, ln: _decode_impl(
             ll, ln, graph.pdf, graph.olabel, graph.weight, graph.dst,
             graph.start, graph.final_weight,
             num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
+            approx_topk=approx_topk,
         )
     )
     out = f(loglik, jnp.asarray(lengths, jnp.int32))
