@@ -96,3 +96,37 @@ def denominator_gamma(graph_dev, loglik: jnp.ndarray) -> jnp.ndarray:
 
     _, gammas = jax.lax.scan(arc_post, 0.0, (loglik, alphas_all, betas_after))
     return gammas  # (T, P)
+
+
+def denominator_gamma_lattice(token_graph, loglik, kcap: int = 256,
+                              beam: float = 30.0, nlat: int = 8):
+    """LVCSR-scale MMI denominator: pdf occupancies from the decode LATTICE
+    (reference lattice-based MMI [K]) instead of the full decoding graph —
+    per-frame cost is bounded by kcap·nlat regardless of graph size, where
+    `denominator_gamma`'s exact forward-backward is O(arcs) work and O(S)
+    state per frame (unusable at 10⁵–10⁶ states).
+
+    token_graph: topk_decoder.TokenGraph; loglik: (T, P) → γ_pdf (T, P)
+    numpy.  Converges to the exact denominator as kcap/beam/nlat grow
+    (tested against `denominator_gamma` with exhaustive settings).
+    """
+    import numpy as np
+
+    from dsr_tpu.asr.decoder import lattice as jlat
+    from dsr_tpu.asr.decoder import topk_decoder as tk
+
+    out = tk.decode_with_tokens(token_graph, loglik, kcap=kcap, beam=beam,
+                                nlat=nlat)
+    _, _, ts_, ta_, tsc_, aa, asc = out
+    lat = jlat.from_topk(ts_, ta_, tsc_, token_graph, aa, asc)
+    _, _, _, post = lat.forward_backward()          # (T, K, N), sums to 1/frame
+    T = post.shape[0]
+    P = loglik.shape[-1]
+    arcs = np.asarray(lat.alt_arcs)
+    pdf_flat = np.asarray(token_graph.pdf).reshape(-1)
+    pdfs = pdf_flat[np.maximum(arcs, 0)]
+    valid = arcs >= 0
+    gamma = np.zeros((T, P))
+    for t in range(T):
+        np.add.at(gamma[t], pdfs[t][valid[t]], post[t][valid[t]])
+    return gamma

@@ -256,3 +256,35 @@ def test_confusion_network_interleaved_beats_binning():
     assert jlat.consensus(lat) == [1, 3]
     # both paths' posteriors landed in the merged sets
     assert cn[0][1] > np.exp(-0.4 - 0.0 + 0.0) * 0.99  # at least path P's mass
+
+
+def test_lattice_mmi_denominator_matches_dense(system):
+    """With exhaustive settings (kcap=S, wide beam, nlat >= max in-degree)
+    the lattice denominator equals the exact full-graph forward-backward —
+    validating both the lattice-MMI path and the lattice FB itself."""
+    task, params, graph, feats, transcripts = system
+    tg = tk.build_token_graph(graph)
+    dev = wd.to_device(graph)
+    ll = jgmm.loglik(params, jnp.asarray(feats[1]))
+    g_dense = np.asarray(mmi.denominator_gamma(dev, ll))
+    g_lat = mmi.denominator_gamma_lattice(
+        tg, ll, kcap=graph.num_states, beam=1e9,
+        nlat=min(graph.num_states * tg.a_max, 512),
+    )
+    assert g_lat.shape == g_dense.shape
+    # per-frame occupancy mass is 1 in both
+    np.testing.assert_allclose(g_lat.sum(axis=1), 1.0, atol=1e-3)
+    assert np.max(np.abs(g_lat - g_dense)) < 2e-3
+
+
+def test_lattice_mmi_denominator_pruned_is_close(system):
+    """Production settings (pruned lattice) stay close to the exact
+    denominator — the usual lattice-MMI approximation."""
+    task, params, graph, feats, transcripts = system
+    tg = tk.build_token_graph(graph)
+    dev = wd.to_device(graph)
+    ll = jgmm.loglik(params, jnp.asarray(feats[4]))
+    g_dense = np.asarray(mmi.denominator_gamma(dev, ll))
+    g_lat = mmi.denominator_gamma_lattice(tg, ll, kcap=24, beam=30.0, nlat=6)
+    np.testing.assert_allclose(g_lat.sum(axis=1), 1.0, atol=1e-2)
+    assert np.mean(np.abs(g_lat - g_dense)) < 0.02
