@@ -54,6 +54,17 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
     ]
     lib.dsr_stream_close.argtypes = [ctypes.c_void_p]
+    lib.dsr_loader_open.restype = ctypes.c_void_p
+    lib.dsr_loader_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+    ]
+    lib.dsr_loader_next.restype = ctypes.c_int
+    lib.dsr_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.dsr_loader_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -195,3 +206,71 @@ class BlockSizeConverter:
             width = [(0, 0)] * (buf.ndim - 1) + [(0, self.out_size - buf.shape[-1])]
             buf = np.pad(buf, width)
         return buf
+
+
+class BatchLoader:
+    """Native batched corpus loader (native/loader.cpp): a C++ worker pool
+    prefetches and decodes WAV files IN CORPUS ORDER while the accelerator
+    computes; batches arrive zero-padded to a fixed row stride with
+    per-utterance frame counts — the data-loader half of the native
+    runtime (reference SampleFeature at corpus scale, SURVEY.md §2.1 [K]).
+
+    Iterating yields (audio (B, channels, frames_max), lengths (B,)) with
+    B ≤ batch on the last batch.  All files in a batch must share a channel
+    count (standard corpus layout); mixed corpora should be bucketed first.
+    """
+
+    def __init__(self, paths: list[str], batch: int, max_frames: int,
+                 max_channels: int = 1, workers: int = 4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.batch = batch
+        self.max_values = int(max_frames) * int(max_channels)
+        self._h = lib.dsr_loader_open(
+            "\n".join(paths).encode(), batch, self.max_values, workers
+        )
+        if not self._h:
+            raise IOError("dsr_loader_open failed (empty corpus or bad args)")
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._h is None:
+            raise StopIteration
+        out = np.empty((self.batch, self.max_values), np.float32)
+        frames = np.empty(self.batch, np.int64)
+        channels = np.empty(self.batch, np.int32)
+        rates = np.empty(self.batch, np.int32)
+        n = self._lib.dsr_loader_next(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            channels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        if n < 0:
+            self.close()
+            raise IOError(f"corpus file failed to load (rc {frames.min()})")
+        if n == 0:
+            self.close()
+            raise StopIteration
+        ch = int(channels[0])
+        assert (channels[:n] == ch).all(), "mixed channel counts in one batch"
+        fmax = self.max_values // ch
+        audio = out[:n].reshape(n, fmax, ch).transpose(0, 2, 1)
+        self.rates = rates[:n].copy()
+        return np.ascontiguousarray(audio), frames[:n].copy()
+
+    def close(self):
+        if self._h is not None:
+            self._lib.dsr_loader_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

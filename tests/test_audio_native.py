@@ -91,3 +91,39 @@ def test_block_size_converter_eager_and_reuse_safe():
     conv2 = BlockSizeConverter(2)
     conv2.push(np.zeros(3, np.float32))
     assert conv2.flush(pad=False).shape == (1,)
+
+
+def test_batch_loader_ordered_prefetch(tmp_path):
+    """Native corpus loader: multi-worker prefetch preserves corpus order,
+    pads rows, reports lengths; errors surface as IOError."""
+    from dsr_tpu.utils.audio import BatchLoader, write_wav
+
+    rng = np.random.default_rng(0)
+    paths, refs = [], []
+    for i in range(7):
+        n = int(rng.integers(500, 3000))
+        x = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, x, 16000)
+        paths.append(p)
+        refs.append(x)
+    got = []
+    with BatchLoader(paths, batch=3, max_frames=3000, max_channels=2,
+                     workers=3) as ld:
+        for audio, lengths in ld:
+            assert audio.shape[1:] == (2, 3000)
+            for b in range(audio.shape[0]):
+                got.append((audio[b], int(lengths[b])))
+    assert len(got) == 7
+    for (a, n), ref in zip(got, refs):
+        assert n == ref.shape[-1]
+        np.testing.assert_allclose(a[:, :n], ref, atol=1.0 / 32768)
+        assert np.all(a[:, n:] == 0.0)
+
+    # off-happy-path: a missing file raises
+    import pytest
+
+    bad = BatchLoader([paths[0], str(tmp_path / "missing.wav")], batch=2,
+                      max_frames=3000, max_channels=2)
+    with pytest.raises(IOError):
+        next(bad)
