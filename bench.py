@@ -4,7 +4,7 @@ plus LVCSR decode RTF (config 4) and roofline accounting, one JSON line.
 Config-2 style pipeline — 64-channel circular array, oversampled subband
 analysis fused with superdirective MVDR apply (M=256, m=4, r=2, Pallas v5
 kernels), synthesis — on the single available chip; then batched top-K
-decode over the synthetic 340k-state trigram HCLG (config 4).
+decode over the synthetic large-vocab trigram HCLG (config 4).
 
 Measurement protocol (the axon dev runtime makes naive timing lie):
   - inputs are device-resident (the dev tunnel uploads at ~8 MB/s and
@@ -151,7 +151,7 @@ def bench_decode(jax, jnp):
     from dsr_tpu.asr import lvcsr
     from dsr_tpu.asr.decoder import topk_decoder as tk
 
-    task = lvcsr.build_task(lvcsr.LvcsrConfig())  # 340k states / 700k arcs
+    task = lvcsr.build_task(lvcsr.LvcsrConfig())  # ~0.5M states / ~1M arcs
     g = tk.build_token_graph(task.graph)
     U, T = 8, 1000                                # 8 utts x 8 s @ 125 fps
     rng = np.random.default_rng(0)
@@ -195,7 +195,7 @@ def main():
                 "extra_metrics": [
                     {
                         "metric": "LVCSR decode audio-sec/s/chip "
-                                  "(340k-state trigram HCLG, top-K token passing)",
+                                  "(large-vocab trigram HCLG, top-K token passing)",
                         "unit": "audio-sec/s/chip",
                         **dec,
                     }

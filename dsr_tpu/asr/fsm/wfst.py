@@ -220,6 +220,16 @@ class Wfst:
                 if a.olabel == EPS:
                     if f != 2:
                         push(a.nextstate, s2, 1, a.ilabel, EPS, a.weight)
+                    if f == 0:
+                        # JOINT eps:eps move (Mohri filter's ε₂:ε₁ arc):
+                        # without it, paths needing an A-output-eps AND a
+                        # B-input-eps between two matches are dropped in
+                        # BOTH orders (states 1 and 2 block the other
+                        # side's eps) — e.g. H's eps-output self-loops
+                        # right before G's eps-input back-off arcs.
+                        for b in b_by_ilabel.get(EPS, ()):
+                            push(a.nextstate, b.nextstate, 0, a.ilabel,
+                                 b.olabel, a.weight + b.weight)
                 else:
                     for b in b_by_ilabel.get(a.olabel, ()):
                         push(a.nextstate, b.nextstate, 0, a.ilabel, b.olabel, a.weight + b.weight)

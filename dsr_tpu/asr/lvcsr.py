@@ -94,7 +94,9 @@ class LvcsrConfig:
     seed: int = 0
 
     def key(self) -> str:
-        blob = json.dumps(self.__dict__, sort_keys=True).encode()
+        # _fmt bumps invalidate cached graphs when the BUILD pipeline
+        # changes (v2: compose joint eps:eps filter move fix)
+        blob = json.dumps({**self.__dict__, "_fmt": 2}, sort_keys=True).encode()
         return hashlib.sha1(blob).hexdigest()[:12]
 
 
@@ -110,6 +112,47 @@ class LvcsrTask:
     @property
     def num_pdfs(self) -> int:
         return (len(self.phones) - 1) * self.cfg.states_per_phone
+
+
+def synthetic_am(task: "LvcsrTask", scale: float = 4.0):
+    """A well-separated diagonal GMM over D = num_pdfs feature dims (mean of
+    pdf p = scale·e_p): lets WER gates exercise the FULL lexicon/LM/HMM
+    semantics of the big graph with near-noiseless acoustics."""
+    from dsr_tpu.asr.am.gmm import GmmParams
+    import jax.numpy as jnp
+
+    P = task.num_pdfs
+    means = (scale * np.eye(P, dtype=np.float32))[:, None, :]
+    var = np.full((P, 1, P), 0.25, np.float32)
+    logw = np.zeros((P, 1), np.float32)
+    return GmmParams(jnp.asarray(means), jnp.asarray(var), jnp.asarray(logw))
+
+
+def synthesize_utterance(task: "LvcsrTask", sentence: list[str],
+                         rng: np.random.Generator, scale: float = 4.0,
+                         noise: float = 0.5, sil_prob: float = 0.5,
+                         dur: tuple[int, int] = (2, 5)) -> np.ndarray:
+    """Render `sentence` to (T, num_pdfs) features matching `synthetic_am`:
+    each word's pronunciation expands to its HMM pdf sequence (the
+    build_hmm_fst convention pdf = (phone−1)·spp + k), with random state
+    durations and optional post-word silence (the build_lg_fst topology)."""
+    spp = task.cfg.states_per_phone
+    pdfs: list[int] = []
+
+    def emit_phone(name: str):
+        pid = task.phones[name]
+        for k in range(spp):
+            pdfs.extend([(pid - 1) * spp + k] * int(rng.integers(*dur)))
+
+    for w in sentence:
+        for ph in task.lexicon[w]:
+            emit_phone(ph)
+        if rng.random() < sil_prob:
+            emit_phone("sil")
+    T = len(pdfs)
+    feats = noise * rng.standard_normal((T, task.num_pdfs)).astype(np.float32)
+    feats[np.arange(T), pdfs] += scale
+    return feats
 
 
 def _cache_dir() -> pathlib.Path:

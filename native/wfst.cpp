@@ -207,6 +207,16 @@ Fst compose(const Fst& A, const Fst& B) {
       if (A.ol[a] == kEps) {
         if (it.filt != 2)
           push(A.nxt[a], it.s2, 1, A.il[a], kEps, A.w[a]);
+        if (it.filt == 0) {
+          // JOINT eps:eps move (Mohri filter's eps2:eps1 arc): without it,
+          // paths needing an A-output-eps AND a B-input-eps between two
+          // matches are dropped in BOTH orders (filter states 1 and 2
+          // block the other side's eps) — e.g. H's eps-output self-loops
+          // right before G's eps-input back-off arcs.
+          auto [lo, hi] = b_range(kEps);
+          for (int64_t b = lo; b < hi; ++b)
+            push(A.nxt[a], B.nxt[b], 0, A.il[a], B.ol[b], A.w[a] + B.w[b]);
+        }
       } else {
         auto [lo, hi] = b_range(A.ol[a]);
         for (int64_t b = lo; b < hi; ++b)
