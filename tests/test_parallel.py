@@ -67,9 +67,11 @@ def test_topk_pruned_still_reasonable(system):
     tg = tk.build_token_graph(graph)
     dev = wd.to_device(graph)
     for ll in lls:
-        olabs_t, score_t = tk.decode(tg, ll, kcap=24, beam=1e9)
+        # kcap=48: the joint eps:eps compose fix enlarged the HCLG (the
+        # restored back-off structure), so 24 tokens over-prune it
+        olabs_t, score_t = tk.decode(tg, ll, kcap=48, beam=1e9)
         _, _, score_d = wd.decode(dev, ll)
-        # pruned search can only lose log-prob mass, and little at kcap=24
+        # pruned search can only lose log-prob mass, and little at kcap=48
         # tolerance is relative: the two decoders sum the same path in
         # different f32 orders (top-K uses the split-bf16 MXU lookup)
         assert float(score_t) <= float(score_d) + 1e-3 + 1e-6 * abs(float(score_d))
