@@ -178,3 +178,37 @@ def test_lvcsr_backoff_path_decodes_unseen_bigram(task):
     lat = jlat.from_topk(ts_, ta_, tsc_, tg, aa, asc)
     ref_ids = [task.words[w1], task.words[w2]]
     assert lat.oracle_errors(ref_ids) == 0
+
+
+def test_lvcsr_triphone_build_and_recognize():
+    """Config-4 TRIPHONE path: trigram G -> det(LG) -> C -> likelihood-gain
+    tied tree -> H_tri, all at-scale compositions through the native core;
+    in-domain utterances with context-dependent acoustics decode exactly.
+
+    Structure gates: tying is real (far fewer tied pdfs than seen
+    triphone states, but more than monophone states — the tree used the
+    left-context questions)."""
+    from dsr_tpu.asr.am import gmm as jgmm
+    import jax.numpy as jnp
+
+    cfg = lvcsr.LvcsrConfig(vocab_size=300, n_tokens=5000, branching=3)
+    task = lvcsr.build_task_tri(cfg)
+    spp = cfg.states_per_phone
+    n_mono = (len(task.phones) - 1) * spp
+    assert task.build_stats["num_states"] >= 100_000
+    assert task.build_stats["seen_triphones"] >= 10_000
+    assert n_mono < task.num_pdfs < task.build_stats["seen_triphones"] * spp
+
+    rng0 = np.random.default_rng(cfg.seed)
+    lex = lvcsr.make_lexicon(cfg.vocab_size, rng0)
+    vocab = sorted(lex)
+    text = lvcsr.make_text(vocab, cfg.n_tokens, cfg.branching, rng0)
+    params = lvcsr.synthetic_am_tri(task)
+    tg = tk.build_token_graph(task.graph)
+    rng = np.random.default_rng(7)
+    for sent in [s[:3] for s in text[:2]]:
+        feats = lvcsr.synthesize_utterance_tri(task, sent, rng)
+        ll = jgmm.loglik(params, jnp.asarray(feats))
+        olabs, _ = tk.decode(tg, ll, kcap=192, beam=60.0)
+        hyp = [task.words.name(int(w)) for w in np.asarray(olabs) if w]
+        assert hyp == sent, (sent, hyp)
