@@ -54,6 +54,38 @@ class Lattice:
         j = int(np.argmax(sc))
         return j if sc[j] > NEG / 2 else -1
 
+    def _link_structure(self):
+        """Vectorised per-link (source slot, transition weight):
+        src_slot (T, K, N) int64 (-1 invalid) and delta (T, K, N) f64.
+        Frame-0 links expand from the start token (slot 0, score 0);
+        for t > 0 the source slot is looked up among frame t−1's LIVE
+        tokens (recombination keeps one live token per state, so a
+        searchsorted over the live state ids is exact)."""
+        assert self.alt_arcs is not None
+        T, K = self.states.shape
+        arcs = np.asarray(self.alt_arcs)
+        valid = arcs >= 0
+        srcs = self.src_of_arc[np.maximum(arcs, 0)].astype(np.int64)
+        alt = np.asarray(self.alt_scores, np.float64)
+        src_slot = np.full(arcs.shape, -1, np.int64)
+        delta = np.full(arcs.shape, NEG)
+        src_slot[0][valid[0]] = 0
+        delta[0][valid[0]] = alt[0][valid[0]]
+        for t in range(1, T):
+            live = self.scores[t - 1] > NEG / 2
+            st_prev = np.where(live, self.states[t - 1], -1).astype(np.int64)
+            order = np.argsort(st_prev, kind="stable")
+            ss = st_prev[order]
+            flat_src = srcs[t].reshape(-1)
+            pos = np.searchsorted(ss, flat_src)
+            pos_c = np.minimum(pos, K - 1)
+            found = (ss[pos_c] == flat_src) & valid[t].reshape(-1)
+            j = np.where(found, order[pos_c], -1).reshape(arcs.shape[1:])
+            src_slot[t] = j
+            prev_sc = self.scores[t - 1][np.maximum(j, 0)]
+            delta[t] = np.where(j >= 0, alt[t] - prev_sc, NEG)
+        return src_slot, delta
+
     def forward_backward(self):
         """Exact sum-semiring forward-backward over the true lattice.
 
@@ -68,28 +100,7 @@ class Lattice:
         assert self.alt_arcs is not None, "decode with nlat>0 for exact FB"
         T, K = self.states.shape
         N = self.alt_arcs.shape[-1]
-        # per-link source slot and transition weight
-        src_slot = np.full((T, K, N), -1, np.int64)
-        delta = np.full((T, K, N), NEG)
-        for t in range(T):
-            for k in range(K):
-                for n in range(N):
-                    a = int(self.alt_arcs[t, k, n])
-                    if a < 0:
-                        continue
-                    src = int(self.src_of_arc[a])
-                    if t == 0:
-                        # frame-0 candidates expand from the start token
-                        src_slot[t, k, n] = 0
-                        delta[t, k, n] = float(self.alt_scores[t, k, n])
-                        continue
-                    j = self._src_slot(t - 1, src)
-                    if j < 0:
-                        continue
-                    src_slot[t, k, n] = j
-                    delta[t, k, n] = float(
-                        self.alt_scores[t, k, n] - self.scores[t - 1, j]
-                    )
+        src_slot, delta = self._link_structure()
 
         def lse(a, axis=None):
             m = np.max(a, axis=axis, keepdims=True)
@@ -115,10 +126,17 @@ class Lattice:
         beta = np.full((T, K), NEG)
         beta[T - 1] = np.where(self.scores[-1] > NEG / 2, fin, NEG)
         for t in range(T - 1, 0, -1):
-            for j in range(K):
-                sel = src_slot[t] == j
-                if sel.any():
-                    beta[t - 1, j] = lse(np.where(sel, delta[t] + beta[t][:, None], NEG))
+            # scatter-logsumexp over source slots (segment max + norm sum)
+            sel = src_slot[t] >= 0
+            js = src_slot[t][sel]
+            vals = (delta[t] + beta[t][:, None])[sel]
+            mx = np.full(K, NEG)
+            np.maximum.at(mx, js, vals)
+            mx_safe = np.where(mx > NEG / 2, mx, 0.0)
+            s = np.zeros(K)
+            np.add.at(s, js, np.exp(vals - mx_safe[js]))
+            beta[t - 1] = np.where((s > 0) & (mx > NEG / 2),
+                                   mx_safe + np.log(np.maximum(s, 1e-300)), NEG)
         post = np.zeros((T, K, N))
         for t in range(T):
             prev = np.zeros(K) if t == 0 else alpha[t - 1]
@@ -225,6 +243,7 @@ class Lattice:
         INF = 10 ** 6
         Dprev_start = np.arange(R + 1)            # start node: r deletions
         D = np.full((K, R + 1), INF, np.int64)
+        src_slot, _ = self._link_structure()
         for t in range(T):
             Dt = np.full((K, R + 1), INF, np.int64)
             for k in range(K):
@@ -235,8 +254,7 @@ class Lattice:
                     if t == 0:
                         dp = Dprev_start
                     else:
-                        src = int(self.src_of_arc[a])
-                        j = self._src_slot(t - 1, src)
+                        j = int(src_slot[t, k, n])
                         if j < 0:
                             continue
                         dp = D[j]

@@ -78,10 +78,15 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _split_mm(oh, table, eq):
-    """Exact-to-f32 one-hot lookup as TWO bf16 MXU passes: the 0/1 one-hot
-    is exact in bf16 and the f32 table splits losslessly into hi+lo bf16
-    halves.  (A single default-precision pass would round the table to
-    bf16 — ~2^-8 relative — corrupting scores; HIGHEST costs 6 passes.)"""
+    """One-hot lookup as TWO bf16 MXU passes: the 0/1 one-hot is exact in
+    bf16 and the f32 table splits into hi+lo bf16 halves — ~2^-17 relative
+    table accuracy (two 8-bit-mantissa terms ≈ 17 of f32's 24 bits; a
+    3-term split would be exact but costs 50% more passes).  A single
+    default-precision pass rounds the table to bf16 (~2^-8, corrupting
+    scores); HIGHEST costs 6 passes.  2^-17 puts ~1e-3 absolute noise on
+    |loglik| ~ 1e2 values — two orders below the beam/LM scale, and the
+    golden-parity decode gates (score tolerance 1e-2, identical word
+    output) pass with it."""
     th = table.astype(jnp.bfloat16)
     tl = (table - th.astype(jnp.float32)).astype(jnp.bfloat16)
     ohb = oh.astype(jnp.bfloat16)

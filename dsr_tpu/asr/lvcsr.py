@@ -382,11 +382,15 @@ def build_task(cfg: LvcsrConfig = LvcsrConfig(), verbose: bool = False) -> Lvcsr
     graph = pack_csr(off, il, ol, w, nxt, start, fin)
     if verbose:
         print(f"LVCSR HCLG: {stats}")
+    # atomic publish: concurrent builders / interrupts must never leave a
+    # truncated npz that later runs load and crash on
+    tmp = cache.with_suffix(f".tmp{os.getpid()}.npz")
     np.savez_compressed(
-        cache,
+        tmp,
         src=graph.src, pdf=graph.pdf, olabel=graph.olabel, weight=graph.weight,
         dst=graph.dst, start=np.int64(graph.start),
         final_weight=graph.final_weight, num_states=np.int64(graph.num_states),
         stats=np.str_(json.dumps(stats)),
     )
+    os.replace(tmp, cache)
     return LvcsrTask(graph, words, phones, lex, cfg, stats)

@@ -48,8 +48,8 @@ def initialize_distributed(coordinator: str | None = None, num_processes: int | 
     if num_processes and num_processes > 1:
         kw = {}
         if heartbeat_timeout_s is not None:
-            kw["heartbeat_timeout"] = heartbeat_timeout_s
+            kw["heartbeat_timeout_seconds"] = int(heartbeat_timeout_s)
         try:
             jax.distributed.initialize(coordinator, num_processes, process_id, **kw)
-        except TypeError:  # older jax: no heartbeat_timeout parameter
+        except TypeError:  # older jax: no heartbeat_timeout_seconds parameter
             jax.distributed.initialize(coordinator, num_processes, process_id)

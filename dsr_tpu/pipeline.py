@@ -237,6 +237,8 @@ class StreamingRecognizer:
         return self.finish()
 
     def finish(self):
+        if not self._toks:
+            return [], float("-inf")   # no audio consumed
         tok_states = np.concatenate([t for t, _ in self._toks], axis=0)
         tok_arcs = np.concatenate([a for _, a in self._toks], axis=0)
         olabs, score = self._tk.traceback(

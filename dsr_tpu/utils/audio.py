@@ -252,8 +252,12 @@ class BatchLoader:
             rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         )
         if n < 0:
+            pos = -n - 1          # failing batch position; frames[pos] = rc
             self.close()
-            raise IOError(f"corpus file failed to load (rc {frames.min()})")
+            raise IOError(
+                f"corpus file at batch position {pos} failed to load "
+                f"(rc {int(frames[pos])})"
+            )
         if n == 0:
             self.close()
             raise StopIteration

@@ -165,6 +165,11 @@ def restore(path: str, template: Any) -> Any:
     path = os.path.abspath(path)
     if os.path.exists(os.path.join(path, _INDEX.format(jax.process_index()))):
         return restore_sharded(path, template)
+    legacy = os.path.join(path, "ckpt.npz")
+    if os.path.exists(legacy):  # pre-sharded-format checkpoints
+        z = np.load(legacy)
+        leaves = [z[k] for k in z.files]
+        return jax.tree.unflatten(jax.tree.structure(template), leaves)
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()

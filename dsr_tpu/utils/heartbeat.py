@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -82,10 +83,39 @@ class LeaseBoard:
         os.replace(tmp, path)
 
     def release(self, key: str) -> None:
+        """Release only a lease WE still hold: if the lease was broken and
+        re-claimed by a peer (we went stale mid-batch), leave it alone."""
+        h = self.holder(key)
+        if h is not None and h.get("worker") != self.worker_id:
+            return
         try:
             os.unlink(self._lease_path(key))
         except FileNotFoundError:
             pass
+
+    def keepalive(self, key: str):
+        """Context manager: a daemon thread re-touches the lease every
+        beat_s while the body (e.g. a long decode batch) runs, so live
+        work is never mistaken for a dead worker's."""
+        board = self
+
+        class _Beater:
+            def __enter__(self):
+                self._stop = threading.Event()
+
+                def loop():
+                    while not self._stop.wait(board.beat_s):
+                        board.beat(key)
+
+                self._t = threading.Thread(target=loop, daemon=True)
+                self._t.start()
+                return self
+
+            def __exit__(self, *a):
+                self._stop.set()
+                self._t.join()
+
+        return _Beater()
 
     def holder(self, key: str):
         try:
@@ -118,10 +148,10 @@ def run_recoverable(
         if not board.try_claim(key):
             continue
         try:
-            board.beat(key)
-            process_batch(todo)
-            for u in todo:
-                progress.mark(u)
+            with board.keepalive(key):     # heartbeat WHILE processing —
+                process_batch(todo)        # slow batches must not look dead
+                for u in todo:
+                    progress.mark(u)
             n += len(todo)
         finally:
             board.release(key)

@@ -114,11 +114,15 @@ void* dsr_loader_open(const char* paths_joined, int batch,
 
 // Fills out (batch rows of max_values floats, zero-padded), frames[b],
 // channels[b], rates[b].  Returns the number of utterances emitted
-// (0 = end of corpus, -1 = a file failed: its index error is in frames[b]).
+// (0 = end of corpus) or -(b+1) if file at batch position b failed: its
+// error code is in frames[b], rows 0..b-1 are valid, and emit_idx still
+// advances past the whole consumed prefix so the loader is NOT wedged —
+// the next call continues with the following utterances.
 int dsr_loader_next(void* h, float* out, long long* frames, int* channels,
                     int* rates) {
   auto* L = static_cast<Loader*>(h);
   int count = 0;
+  int failed_at = -1;
   for (int b = 0; b < L->batch; ++b) {
     size_t idx = L->emit_idx + static_cast<size_t>(b);
     if (idx >= L->paths.size()) break;
@@ -132,7 +136,9 @@ int dsr_loader_next(void* h, float* out, long long* frames, int* channels,
     float* row = out + static_cast<size_t>(b) * L->max_values;
     if (u.err != 0) {
       frames[b] = u.err;  // negative error code
-      return -1;
+      failed_at = b;
+      ++count;            // the failing slot is consumed too
+      break;
     }
     std::memcpy(row, u.data.data(), u.data.size() * sizeof(float));
     std::memset(row + u.data.size(), 0,
@@ -147,7 +153,7 @@ int dsr_loader_next(void* h, float* out, long long* frames, int* channels,
     L->emit_idx += static_cast<size_t>(count);
     L->cv_space.notify_all();
   }
-  return count;
+  return failed_at >= 0 ? -(failed_at + 1) : count;
 }
 
 void dsr_loader_close(void* h) {
