@@ -204,15 +204,32 @@ def stream_start(graph: TokenGraph, kcap: int = 256):
 
 
 @functools.partial(jax.jit, static_argnames=("num_states", "a_max", "kcap", "nlat"))
-def _decode_chunk_impl(loglik, states0, scores0, pdf, olabel, weight, dst,
-                       *, num_states, a_max, kcap, beam, nlat=0):
+def _decode_chunk_impl(loglik, length, states0, scores0, pdf, olabel, weight,
+                       dst, *, num_states, a_max, kcap, beam, nlat=0):
     T = loglik.shape[0]
     step = _make_step(pdf, olabel, weight, dst, num_states=num_states,
                       a_max=a_max, kcap=kcap, beam=beam, nlat=nlat,
                       num_pdfs=loglik.shape[-1])
-    ts = jnp.zeros((T,), jnp.int32)          # t < length always (full chunk)
-    lens = jnp.ones((T,), jnp.int32)
+    ts = jnp.arange(T, dtype=jnp.int32)      # frames ≥ length are padding:
+    lens = jnp.full((T,), length, jnp.int32) # carry passes through, arc=-1
     return jax.lax.scan(step, (states0, scores0), (ts, lens, loglik))
+
+
+# Streaming chunk lengths are bucketed to these values: the axon runtime
+# remote-compiles EVERY new shape (10-90 s), and real frontends emit ragged
+# chunk lengths — without bucketing a streaming session thrashes the
+# compile cache (one compile per distinct length).  Padded frames are
+# masked by the t<length machinery, so results are bit-identical.
+CHUNK_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket_len(T: int) -> int:
+    for b in CHUNK_BUCKETS:
+        if T <= b:
+            return b
+    # beyond the largest bucket: round up to a multiple of it
+    top = CHUNK_BUCKETS[-1]
+    return ((T + top - 1) // top) * top
 
 
 def decode_chunk(graph: TokenGraph, loglik: jnp.ndarray, carry,
@@ -225,13 +242,25 @@ def decode_chunk(graph: TokenGraph, loglik: jnp.ndarray, carry,
     [, alt_arcs, alt_scores])) — accumulate the token arrays and run
     `traceback` at utterance end; the result is IDENTICAL to the
     whole-utterance decode (the scan carry is the decoder's only state).
+
+    Chunks are padded internally to `CHUNK_BUCKETS` lengths (compile-cache
+    hygiene on the axon runtime) and the outputs sliced back — callers see
+    exactly T rows.
     """
     kcap = min(kcap, graph.num_states)
-    return _decode_chunk_impl(
-        loglik, carry[0], carry[1], graph.pdf, graph.olabel, graph.weight,
-        graph.dst, num_states=graph.num_states, a_max=graph.a_max, kcap=kcap,
-        beam=beam, nlat=min(nlat, graph.a_max * kcap),
+    T = loglik.shape[0]
+    B = _bucket_len(T)
+    if B != T:
+        loglik = jnp.pad(loglik, ((0, B - T), (0, 0)))
+    new_carry, outs = _decode_chunk_impl(
+        loglik, jnp.asarray(T, jnp.int32), carry[0], carry[1], graph.pdf,
+        graph.olabel, graph.weight, graph.dst, num_states=graph.num_states,
+        a_max=graph.a_max, kcap=kcap, beam=beam,
+        nlat=min(nlat, graph.a_max * kcap),
     )
+    if B != T:
+        outs = tuple(o[:T] for o in outs)
+    return new_carry, outs
 
 
 @functools.partial(jax.jit, static_argnames=("a_max",))

@@ -217,7 +217,14 @@ class BatchLoader:
 
     Iterating yields (audio (B, channels, frames_max), lengths (B,)) with
     B ≤ batch on the last batch.  All files in a batch must share a channel
-    count (standard corpus layout); mixed corpora should be bucketed first.
+    count ≤ max_channels (standard corpus layout); mixed corpora should be
+    bucketed first.
+
+    Error recovery: an unreadable corpus file does NOT wedge the loader
+    (native/loader.cpp consumes the failing slot and the next call
+    continues) — the valid prefix of the batch is yielded, the bad path is
+    recorded in `self.skipped` as (path, rc), and iteration resumes with
+    the following file.
     """
 
     def __init__(self, paths: list[str], batch: int, max_frames: int,
@@ -227,7 +234,11 @@ class BatchLoader:
             raise RuntimeError("native library unavailable")
         self._lib = lib
         self.batch = batch
+        self.max_channels = int(max_channels)
         self.max_values = int(max_frames) * int(max_channels)
+        self.skipped: list[tuple[str, int]] = []
+        self._paths = list(paths)
+        self._consumed = 0         # corpus position (incl. skipped files)
         self._h = lib.dsr_loader_open(
             "\n".join(paths).encode(), batch, self.max_values, workers
         )
@@ -238,35 +249,53 @@ class BatchLoader:
         return self
 
     def __next__(self):
-        if self._h is None:
-            raise StopIteration
-        out = np.empty((self.batch, self.max_values), np.float32)
-        frames = np.empty(self.batch, np.int64)
-        channels = np.empty(self.batch, np.int32)
-        rates = np.empty(self.batch, np.int32)
-        n = self._lib.dsr_loader_next(
-            self._h,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-            channels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        )
-        if n < 0:
-            pos = -n - 1          # failing batch position; frames[pos] = rc
-            self.close()
-            raise IOError(
-                f"corpus file at batch position {pos} failed to load "
-                f"(rc {int(frames[pos])})"
+        while True:
+            if self._h is None:
+                raise StopIteration
+            out = np.empty((self.batch, self.max_values), np.float32)
+            frames = np.empty(self.batch, np.int64)
+            channels = np.empty(self.batch, np.int32)
+            rates = np.empty(self.batch, np.int32)
+            n = self._lib.dsr_loader_next(
+                self._h,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                channels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             )
-        if n == 0:
-            self.close()
-            raise StopIteration
-        ch = int(channels[0])
-        assert (channels[:n] == ch).all(), "mixed channel counts in one batch"
-        fmax = self.max_values // ch
-        audio = out[:n].reshape(n, fmax, ch).transpose(0, 2, 1)
-        self.rates = rates[:n].copy()
-        return np.ascontiguousarray(audio), frames[:n].copy()
+            if n < 0:
+                # slots 0..pos-1 are valid, slot pos failed AND was consumed
+                # (loader.cpp contract) — record it and yield the prefix.
+                pos = -n - 1
+                self.skipped.append(
+                    (self._paths[self._consumed + pos], int(frames[pos]))
+                )
+                self._consumed += pos + 1
+                n = pos
+                if n == 0:
+                    continue       # nothing valid this round; keep going
+            elif n == 0:
+                self.close()
+                raise StopIteration
+            else:
+                self._consumed += n
+            ch = int(channels[0])
+            if not (channels[:n] == ch).all():
+                raise ValueError(
+                    "mixed channel counts in one batch "
+                    f"({sorted(set(channels[:n].tolist()))}); bucket the "
+                    "corpus by channel count first"
+                )
+            if ch > self.max_channels or self.max_values % ch != 0:
+                raise ValueError(
+                    f"batch channel count {ch} exceeds or does not divide "
+                    f"max_channels={self.max_channels} "
+                    f"(row stride {self.max_values})"
+                )
+            fmax = self.max_values // ch
+            audio = out[:n].reshape(n, fmax, ch).transpose(0, 2, 1)
+            self.rates = rates[:n].copy()
+            return np.ascontiguousarray(audio), frames[:n].copy()
 
     def close(self):
         if self._h is not None:

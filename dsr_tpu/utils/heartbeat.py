@@ -75,9 +75,16 @@ class LeaseBoard:
         return self.try_claim(key)
 
     def beat(self, key: str) -> None:
-        """Refresh the heartbeat on a held lease."""
+        """Refresh the heartbeat on a held lease.  Only beats a lease WE
+        still hold (same guard as `release`): if we stalled past stale_s
+        and a peer broke + re-claimed, overwriting would hijack the peer's
+        live lease and our later release() would delete it — enabling a
+        third concurrent claim."""
+        h = self.holder(key)
+        if h is not None and h.get("worker") != self.worker_id:
+            return
         path = self._lease_path(key)
-        tmp = path + ".beat"
+        tmp = path + f".beat.{self.worker_id}"
         with open(tmp, "w") as f:
             json.dump({"worker": self.worker_id, "beat": time.time()}, f)
         os.replace(tmp, path)

@@ -120,10 +120,25 @@ def test_batch_loader_ordered_prefetch(tmp_path):
         np.testing.assert_allclose(a[:, :n], ref, atol=1.0 / 32768)
         assert np.all(a[:, n:] == 0.0)
 
-    # off-happy-path: a missing file raises
+    # off-happy-path: a missing file is SKIPPED (recorded in .skipped), the
+    # valid prefix is yielded, and iteration continues past it — the loader
+    # is never wedged by one bad corpus entry (native loader contract).
+    missing = str(tmp_path / "missing.wav")
+    bad = BatchLoader([paths[0], missing, paths[1]], batch=2,
+                      max_frames=3000, max_channels=2)
+    audio, lengths = next(bad)        # prefix of the failing batch
+    assert audio.shape[0] == 1 and int(lengths[0]) == refs[0].shape[-1]
+    audio, lengths = next(bad)        # resumes AFTER the bad file
+    assert audio.shape[0] == 1 and int(lengths[0]) == refs[1].shape[-1]
+    assert [p for p, _ in bad.skipped] == [missing]
     import pytest
 
-    bad = BatchLoader([paths[0], str(tmp_path / "missing.wav")], batch=2,
-                      max_frames=3000, max_channels=2)
-    with pytest.raises(IOError):
+    with pytest.raises(StopIteration):
         next(bad)
+
+    # a batch-leading bad file (no valid prefix) is also skipped silently
+    bad2 = BatchLoader([missing, paths[2]], batch=1, max_frames=3000,
+                       max_channels=2)
+    audio, lengths = next(bad2)
+    assert int(lengths[0]) == refs[2].shape[-1]
+    assert len(bad2.skipped) == 1

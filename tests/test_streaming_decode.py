@@ -53,6 +53,14 @@ def test_decode_chunk_equals_full_random_graph():
     assert float(score_c) == pytest.approx(float(score_full), abs=1e-5)
     # token arrays themselves are identical (same scan, chunked carry)
     np.testing.assert_array_equal(np.concatenate(toks_s), np.asarray(ts_))
+    # ragged chunk lengths are BUCKETED before jit (axon compiles every new
+    # shape at 10-90 s a pop): the three distinct lengths above (7, 12, 11)
+    # share at most two bucket shapes (8 and 16)
+    n0 = tk._decode_chunk_impl._cache_size()
+    carry2 = tk.stream_start(tg, kcap=32)
+    for lo, hi in ((0, 5), (5, 15), (15, 29)):   # new lengths 5, 10, 14
+        carry2, _ = tk.decode_chunk(tg, jnp.asarray(ll[lo:hi]), carry2, kcap=32)
+    assert tk._decode_chunk_impl._cache_size() == n0  # no new compiles
 
 
 @pytest.fixture(scope="module")
