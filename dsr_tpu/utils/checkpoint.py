@@ -93,7 +93,23 @@ def restore_sharded(path: str, template: Any) -> Any:
     p = pathlib.Path(os.path.abspath(path))
     index: dict[str, dict] = {}
     for f in sorted(p.glob(_INDEX.format("*"))):
-        index.update(json.loads(f.read_text()))
+        # merge per-leaf across per-PROCESS index files: each process
+        # records only its own shards, so shard lists concatenate (a plain
+        # dict.update would keep only the last process's shards — caught
+        # by the 2-process drill in tests/test_distributed_multiprocess.py)
+        for name, entry in json.loads(f.read_text()).items():
+            if name not in index:
+                index[name] = entry
+                continue
+            have = index[name]
+            for suffix, part in entry["parts"].items():
+                hp = have["parts"][suffix]
+                if (part["shape"] != hp["shape"]
+                        or part["dtype"] != hp["dtype"]):
+                    raise ValueError(
+                        f"{name}{suffix}: inconsistent shape/dtype across "
+                        "process index files")
+                hp["shards"].extend(part["shards"])
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     out = []
