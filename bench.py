@@ -157,20 +157,35 @@ def bench_decode(jax, jnp):
     rng = np.random.default_rng(0)
     ll = jax.device_put(rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32))
     lens = jax.device_put(np.full(U, T, np.int32))
-    _, sc = tk.decode_batch(g, ll, lens, kcap=256, beam=40.0)
-    float(jnp.sum(sc))                            # warmup / compile
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _, sc = tk.decode_batch(g, ll, lens, kcap=256, beam=40.0)
-        float(jnp.sum(sc))
-    dt = (time.perf_counter() - t0) / reps
     audio = U * T / 125.0
+
+    def run(**kw):
+        out = tk.decode_batch(g, ll, lens, kcap=256, beam=40.0, **kw)
+        float(jnp.sum(out[1]))                    # warmup / compile
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = tk.decode_batch(g, ll, lens, kcap=256, beam=40.0, **kw)
+            float(jnp.sum(out[1]))
+        return (time.perf_counter() - t0) / reps, out
+
+    # production path: Pallas recombine/prune kernel (ops/pallas/select.py)
+    dt, out = run(select_mode="pallas", select_q=16, return_spill=True)
+    spill16 = int(np.asarray(out[2]).sum())
+    dt8, out8 = run(select_mode="pallas", select_q=8, return_spill=True)
+    spill8 = int(np.asarray(out8[2]).sum())
+    dtx, _ = run(select_mode="xla")
     return {
         "audio_sec_per_s": round(audio / dt, 2),
         "rtf": round(dt / audio, 5),
         "graph": {"states": g.num_states, "arcs": int(task.build_stats["num_arcs"]),
                   "a_max": g.a_max, "kcap": 256},
+        "select": {
+            "path": "pallas q=16", "spill_frames": spill16,
+            "pallas_q8_audio_sec_per_s": round(audio / dt8, 2),
+            "pallas_q8_spill_frames": spill8,
+            "xla_sort_audio_sec_per_s": round(audio / dtx, 2),
+        },
     }
 
 

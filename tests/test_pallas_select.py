@@ -1,0 +1,88 @@
+"""Parity tests for the Pallas recombination/prune kernel
+(ops/pallas/select.py) against a NumPy transcription of the decoder's
+sort-based reference path (topk_decoder._make_step lines 155-170)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dsr_tpu.ops.pallas import select
+
+NEG = select.NEG
+
+
+def ref_select(cand, fdst, arcs, beam, kcap):
+    """The XLA path: lexicographic sort-recombine, beam, exact top-k.
+    Returns (scores, dst, arc) of the kept tokens, dead slots NEG."""
+    order = np.lexsort((arcs, -cand, fdst))
+    sd, sv, sa = fdst[order], cand[order], arcs[order]
+    first = np.r_[True, sd[1:] != sd[:-1]]
+    val = np.where(first, sv, NEG)
+    mx = val.max()
+    val = np.where(val > mx - beam, val, NEG)
+    top = np.argsort(-val, kind="stable")[:kcap]
+    return val[top], sd[top], sa[top]
+
+
+def pairs(scores, dst, arc):
+    alive = scores > NEG / 2
+    return sorted(zip(np.asarray(dst)[alive].tolist(),
+                      np.round(np.asarray(scores)[alive], 4).tolist(),
+                      np.asarray(arc)[alive].tolist()))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("n,kcap,ndst,beam", [
+    (2000, 128, 400, 1e9),     # heavy dst duplication
+    (2000, 128, 400, 2.0),     # beam actually prunes
+    (12032, 256, 5000, 1e9),   # the LVCSR bench shape
+    (600, 128, 10000, 1e9),    # fewer candidates than kcap survivors
+])
+def test_kernel_matches_sort_path(seed, n, kcap, ndst, beam):
+    rng = np.random.default_rng(seed)
+    cand = rng.standard_normal(n).astype(np.float32) * 5
+    fdst = rng.integers(0, ndst, n).astype(np.int32)
+    arcs = np.arange(n, dtype=np.int32)
+    rs, rd, ra = ref_select(cand, fdst, arcs, beam, kcap)
+    ks, kd, ka, spill = select.recombine_topk(
+        jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+        jnp.float32(beam), kcap=kcap)
+    assert not bool(spill), "random spread should not spill"
+    assert pairs(ks, kd, ka) == pairs(rs, rd, ra)
+
+
+def test_spill_flags_adversarial_lane():
+    """Cram > q winners into one lane: the kernel must raise `spill`
+    rather than silently drop them."""
+    n, kcap, q = 4096, 128, 16
+    rng = np.random.default_rng(7)
+    cand = rng.standard_normal(n).astype(np.float32)
+    # lane 5 (flat index ≡ 5 mod 128) gets the 24 largest scores
+    hot = 5 + 128 * np.arange(24)
+    cand[hot] = 100.0 + np.arange(24)
+    fdst = np.arange(n, dtype=np.int32)     # no dups: all are winners
+    arcs = np.arange(n, dtype=np.int32)
+    _, _, _, spill = select.recombine_topk(
+        jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+        jnp.float32(1e9), kcap=kcap, q=q)
+    assert bool(spill)
+
+
+def test_duplicate_heavy_recombination():
+    """Many candidates per dst: recombination must keep exactly the max
+    arc per destination (ties impossible: distinct scores)."""
+    rng = np.random.default_rng(3)
+    n, kcap = 4096, 128
+    fdst = rng.integers(0, 60, n).astype(np.int32)    # ~68 cands per dst
+    cand = rng.permutation(n).astype(np.float32) / 97
+    arcs = np.arange(n, dtype=np.int32)
+    rs, rd, ra = ref_select(cand, fdst, arcs, 1e9, kcap)
+    ks, kd, ka, spill = select.recombine_topk(
+        jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+        jnp.float32(1e9), kcap=kcap)
+    if not bool(spill):
+        assert pairs(ks, kd, ka) == pairs(rs, rd, ra)
+    else:
+        # heavy duplication can legitimately spill; the kept set must
+        # still be a subset of the reference winners
+        assert set(pairs(ks, kd, ka)) <= set(pairs(rs, rd, ra))

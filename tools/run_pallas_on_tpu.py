@@ -25,7 +25,8 @@ def main():
     env = dict(os.environ, DSR_TPU_TESTS="1")
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_pallas.py", "-v", "--tb=line"],
+        [sys.executable, "-m", "pytest", "tests/test_pallas.py",
+         "tests/test_pallas_select.py", "-v", "--tb=line"],
         cwd=ROOT, env=env, capture_output=True, text=True, timeout=3600,
     )
     out = proc.stdout
