@@ -18,6 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST  # offline stats: full-precision einsums on the MXU
+
 from dsr_tpu.asr.am.gmm import GmmParams, component_posteriors
 
 
@@ -38,11 +40,11 @@ def accumulate_fmllr(params: GmmParams, feats: jnp.ndarray, gamma: jnp.ndarray) 
     inv_v = 1.0 / params.variances                      # (S, C, D)
     # per-frame scalar per (s,c): γ; per-dim weight 1/σ²
     # G_d = Σ_t Σ_sc γ_tsc invv_scd xe_t xe_tᵀ
-    occ_t = jnp.einsum("...tsc,scd->...td", w, inv_v)   # (..., T, D)
-    G = jnp.einsum("...td,...ti,...tj->dij", occ_t, xe, xe)
+    occ_t = jnp.einsum("...tsc,scd->...td", w, inv_v, precision=_HI)   # (..., T, D)
+    G = jnp.einsum("...td,...ti,...tj->dij", occ_t, xe, xe, precision=_HI)
     mu_iv = params.means * inv_v                        # (S, C, D)
-    k_t = jnp.einsum("...tsc,scd->...td", w, mu_iv)
-    k = jnp.einsum("...td,...ti->di", k_t, xe)
+    k_t = jnp.einsum("...tsc,scd->...td", w, mu_iv, precision=_HI)
+    k = jnp.einsum("...td,...ti->di", k_t, xe, precision=_HI)
     beta = jnp.sum(w)
     return FmllrStats(G, k, beta)
 

@@ -252,6 +252,8 @@ class Lattice:
         # (round-2's per-(k, n, r) Python loops took tens of ms at toy
         # scale and were unusable at LVCSR scale — VERDICT weak #5)
         for t in range(T):
+            if t > 0 and not valid[t].any():
+                continue         # padded frame (length-masked): pass through
             if t == 0:
                 dp = np.where(valid[0][..., None], rr[None, None, :], INF)
             else:

@@ -226,9 +226,18 @@ def _select_kernel(val_ref, dst_ref, arc_ref, beam_ref, vo_ref, do_ref,
     ao_ref[...] = jnp.where(alive, _blocks(pa, q, nblk, 0, rows_out), -1)
 
 
+_U_MAX = 8   # blocks per kernel call: U·R·128·4B·3 planes must fit VMEM
+
+
 def _impl(cand, fdst, arcs, beam, kcap, q):
     """cand/fdst/arcs: (U, N).  Returns (U,kcap) planes + (U,) spill."""
     U, n = cand.shape
+    if U > _U_MAX:
+        outs = [_impl(cand[i:i + _U_MAX], fdst[i:i + _U_MAX],
+                      arcs[i:i + _U_MAX], beam, kcap, q)
+                for i in range(0, U, _U_MAX)]
+        return tuple(jnp.concatenate(parts, axis=0)
+                     for parts in zip(*outs))
     rows = -(-n // LANES)
     R = 1
     while R < rows:
