@@ -337,7 +337,8 @@ def _dot3(U, Fc, Fs, acc_re, acc_im):
 
 def _analysis_bf_kernel(idx_ref, x_ref, hf_ref, cos_ref, sin_ref, wre_ref, wim_ref,
                         wnyr_ref, wnyi_ref, yre_ref, yim_ref, wins_ref, sems,
-                        *, TT, R0, Lrows, mrows, totalrows, K, C, prec, nslots=2):
+                        *, TT, R0, Lrows, mrows, totalrows, K, C, prec,
+                        nslots=2, cps=1, fold_mode="shared"):
     """Fused analysis + fixed-weight beamform, rD == 1 path (v5).
 
     Grid is (Ttiles, C) with the channel axis INNERMOST: the (TT, K)
@@ -354,7 +355,8 @@ def _analysis_bf_kernel(idx_ref, x_ref, hf_ref, cos_ref, sin_ref, wre_ref, wim_r
     at ingest) and the kernel addresses the selected one — no XLA-side
     gather/pad per call."""
     i = pl.program_id(0)
-    c = pl.program_id(1)
+    g = pl.program_id(1)          # channel GROUP of cps channels
+    G = C // cps
     base = idx_ref[0] * (C * totalrows)
 
     def copy(ch, slot):
@@ -363,50 +365,79 @@ def _analysis_bf_kernel(idx_ref, x_ref, hf_ref, cos_ref, sin_ref, wre_ref, wim_r
             x_ref.at[pl.ds(row0, R0), :], wins_ref.at[slot], sems.at[slot]
         )
 
-    @pl.when(c == 0)
+    @pl.when(g == 0)
     def _prologue():
-        for ahead in range(min(nslots - 1, C)):
-            copy(ahead, ahead % nslots).start()
+        for ahead in range(min(nslots - 1, G)):
+            for j in range(cps):
+                copy(ahead * cps + j, (ahead % nslots) * cps + j).start()
 
-    @pl.when(c + nslots - 1 < C)
+    @pl.when(g + nslots - 1 < G)
     def _prefetch():
-        copy(c + nslots - 1, (c + nslots - 1) % nslots).start()
+        for j in range(cps):
+            copy((g + nslots - 1) * cps + j,
+                 ((g + nslots - 1) % nslots) * cps + j).start()
 
-    slot = c % nslots
-    copy(c, slot).wait()
-
-    # DFT at K_mm = M/2 matmul lanes (bf16x3: 3-pass bf16 decomposition,
-    # ~f32 accuracy at half HIGHEST's MXU passes — Mosaic has no HIGH
-    # lowering); Nyquist bin as a VPU lane reduction (_dft_from_planes).
-    Us = _fold_rows(wins_ref[slot], hf_ref, TT, Lrows, mrows)
-    acc_re, acc_im, ny = _dft_from_planes(Us, cos_ref, sin_ref, prec)
     K_mm = K - 1
-    # weights arrive pre-split: (C, K_mm) matmul bins + (C, 1) Nyquist —
-    # Mosaic cannot lower dynamic-sublane loads with partial lane slices,
-    # so every ref access here is full-lane-width
-    wr = wre_ref[pl.ds(c, 1), :]                       # (1, K_mm)
-    wi = wim_ref[pl.ds(c, 1), :]
-    wr_n = wnyr_ref[pl.ds(c, 1), :]                    # (1, 1)
-    wi_n = wnyi_ref[pl.ds(c, 1), :]
-    # y += conj(w_c) · A_c  (A_c at Nyquist is purely real)
-    yre_c = acc_re * wr + acc_im * wi
-    yim_c = acc_im * wr - acc_re * wi
-    yre_n = ny * wr_n
-    yim_n = -ny * wi_n
+    tre = tim = tre_n = tim_n = None
+    for j in range(cps):
+        slot = (g % nslots) * cps + j
+        copy(g * cps + j, slot).wait()
+        # DFT at K_mm = M/2 matmul lanes (bf16x3: 3-pass bf16
+        # decomposition, ~f32 accuracy at half HIGHEST's MXU passes —
+        # Mosaic has no HIGH lowering); Nyquist bin as one extra MXU
+        # column (_dft_from_planes).  With cps > 1 the folds (VPU) and
+        # DFTs (MXU) of the group's channels are independent dataflow,
+        # giving the VLIW scheduler room to overlap them.
+        if fold_mode == "perplane":
+            # measured variant (VERDICT r2 weak #2 idea b): each plane's
+            # fold feeds its matmul immediately (rolls NOT shared across
+            # planes) so the accumulator never round-trips scheduling
+            buf = wins_ref[slot][...]
+            R0b = buf.shape[0]
+            Us = []
+            for pr in range(mrows):
+                V = jnp.zeros((R0b, LANES), jnp.float32)
+                for q in range(Lrows // mrows):
+                    jj = q * mrows + pr
+                    rj = buf if jj == 0 else pltpu.roll(buf, R0b - jj, 0)
+                    V = V + rj * hf_ref[jj][None, :]
+                Us.append(V[0:TT])
+            acc_re, acc_im, ny = _dft_from_planes(Us, cos_ref, sin_ref, prec)
+        else:
+            Us = _fold_rows(wins_ref[slot], hf_ref, TT, Lrows, mrows)
+            acc_re, acc_im, ny = _dft_from_planes(Us, cos_ref, sin_ref, prec)
+        # weights arrive pre-split: (C, K_mm) matmul bins + (C, 1)
+        # Nyquist — Mosaic cannot lower dynamic-sublane loads with
+        # partial lane slices, so every ref access is full-lane-width
+        c = g * cps + j
+        wr = wre_ref[pl.ds(c, 1), :]                   # (1, K_mm)
+        wi = wim_ref[pl.ds(c, 1), :]
+        wr_n = wnyr_ref[pl.ds(c, 1), :]                # (1, 1)
+        wi_n = wnyi_ref[pl.ds(c, 1), :]
+        # y += conj(w_c) · A_c  (A_c at Nyquist is purely real)
+        yre_c = acc_re * wr + acc_im * wi
+        yim_c = acc_im * wr - acc_re * wi
+        yre_n = ny * wr_n
+        yim_n = -ny * wi_n
+        if tre is None:
+            tre, tim, tre_n, tim_n = yre_c, yim_c, yre_n, yim_n
+        else:
+            tre, tim = tre + yre_c, tim + yim_c
+            tre_n, tim_n = tre_n + yre_n, tim_n + yim_n
 
-    @pl.when(c == 0)
+    @pl.when(g == 0)
     def _init():
-        yre_ref[:, 0:K_mm] = yre_c
-        yre_ref[:, K_mm:K] = yre_n
-        yim_ref[:, 0:K_mm] = yim_c
-        yim_ref[:, K_mm:K] = yim_n
+        yre_ref[:, 0:K_mm] = tre
+        yre_ref[:, K_mm:K] = tre_n
+        yim_ref[:, 0:K_mm] = tim
+        yim_ref[:, K_mm:K] = tim_n
 
-    @pl.when(c != 0)
+    @pl.when(g != 0)
     def _accum():
-        yre_ref[:, 0:K_mm] = yre_ref[:, 0:K_mm] + yre_c
-        yre_ref[:, K_mm:K] = yre_ref[:, K_mm:K] + yre_n
-        yim_ref[:, 0:K_mm] = yim_ref[:, 0:K_mm] + yim_c
-        yim_ref[:, K_mm:K] = yim_ref[:, K_mm:K] + yim_n
+        yre_ref[:, 0:K_mm] = yre_ref[:, 0:K_mm] + tre
+        yre_ref[:, K_mm:K] = yre_ref[:, K_mm:K] + tre_n
+        yim_ref[:, 0:K_mm] = yim_ref[:, 0:K_mm] + tim
+        yim_ref[:, K_mm:K] = yim_ref[:, K_mm:K] + tim_n
 
 
 def _stage_geom(cfg: FilterbankConfig, T: int, TT: int) -> tuple[int, int]:
@@ -432,9 +463,11 @@ def stage_for_beamform(x: jnp.ndarray, cfg: FilterbankConfig, tile: int = 256):
     return xp.reshape(flat.shape[0], flat.shape[1] * totalrows, LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "T", "TT", "prec", "nslots"))
+@functools.partial(jax.jit, static_argnames=("cfg", "T", "TT", "prec", "nslots",
+                                              "cps", "fold_mode"))
 def _analysis_bf_staged(xp, idx, hf, wre, wim, cfg: FilterbankConfig, T: int,
-                        TT: int, prec, nslots: int = 2):
+                        TT: int, prec, nslots: int = 2, cps: int = 1,
+                        fold_mode: str = "shared"):
     """xp: (B, C·totalrows, 128) staged, idx: scalar int32, w parts: (C, K)
     → y: (T, K) complex64; requires D == 128."""
     M, L = cfg.M, cfg.L
@@ -446,7 +479,9 @@ def _analysis_bf_staged(xp, idx, hf, wre, wim, cfg: FilterbankConfig, T: int,
     R0 = TT + ((Lrows + 7) // 8) * 8
     assert xp.shape[1] == C * totalrows and xp.shape[2] == LANES
     cos, sin = _dft_mats(M)
-    grid = (Tpad // TT, C)                          # channel axis innermost
+    if C % cps:
+        cps = 1
+    grid = (Tpad // TT, C // cps)                   # channel axis innermost
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -465,14 +500,15 @@ def _analysis_bf_staged(xp, idx, hf, wre, wim, cfg: FilterbankConfig, T: int,
             pl.BlockSpec((TT, K), lambda i, c, idx: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nslots, R0, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((nslots,)),
+            pltpu.VMEM((nslots * cps, R0, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((nslots * cps,)),
         ],
     )
     re, im = pl.pallas_call(
         functools.partial(
             _analysis_bf_kernel, TT=TT, R0=R0, Lrows=Lrows, mrows=mrows,
-            totalrows=totalrows, K=K, C=C, prec=prec, nslots=nslots,
+            totalrows=totalrows, K=K, C=C, prec=prec, nslots=nslots, cps=cps,
+            fold_mode=fold_mode,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -498,7 +534,8 @@ _PRECS = {"highest": jax.lax.Precision.HIGHEST, "bf16x3": "bf16x3",
 def analysis_beamform_staged(xp: jnp.ndarray, idx, w: jnp.ndarray,
                              cfg: FilterbankConfig, num_samples: int,
                              hf: np.ndarray | None = None, tile: int = 256,
-                             precision: str = "highest") -> jnp.ndarray:
+                             precision: str = "highest",
+                             cps: int = 0, fold_mode: str = "shared") -> jnp.ndarray:
     """Fused analysis+beamform over a pre-staged buffer bank.
 
     xp: output of `stage_for_beamform` (B, C·totalrows, 128); idx selects
@@ -514,13 +551,17 @@ def analysis_beamform_staged(xp: jnp.ndarray, idx, w: jnp.ndarray,
     T = num_frames(num_samples, cfg)
     wre = jnp.real(w).T.astype(jnp.float32)          # (C, K)
     wim = jnp.imag(w).T.astype(jnp.float32)
+    C = w.shape[1]
+    if cps == 0:   # auto: widest channel group dividing C (measured +5%)
+        cps = next(c for c in (8, 4, 2, 1) if C % c == 0)
     return _analysis_bf_staged(xp, idx, hf, wre, wim, cfg, T, tile,
-                               _PRECS[precision])
+                               _PRECS[precision], cps=cps,
+                               fold_mode=fold_mode)
 
 
 def analysis_beamform(x: jnp.ndarray, w: jnp.ndarray, cfg: FilterbankConfig,
                       hf: np.ndarray | None = None, tile: int = 256,
-                      precision: str = "highest") -> jnp.ndarray:
+                      precision: str = "highest", cps: int = 0) -> jnp.ndarray:
     """Fused subband analysis + fixed-weight beamform.
 
     x: (C, S) float32 multi-channel signal; w: (K, C) complex weights
@@ -531,7 +572,7 @@ def analysis_beamform(x: jnp.ndarray, w: jnp.ndarray, cfg: FilterbankConfig,
     """
     xp = stage_for_beamform(x, cfg, tile)
     return analysis_beamform_staged(xp, 0, w, cfg, x.shape[-1], hf, tile,
-                                    precision)
+                                    precision, cps=cps)
 
 
 def _synthesis_kernel(re_ref, im_ref, gf_ref, cos_ref, sin_ref, y_ref, acc_ref, sem,
