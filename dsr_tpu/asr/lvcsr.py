@@ -147,16 +147,19 @@ def _tri_mean(phones, spp: int, l_name: str, c_pid: int, pos: int,
     return m
 
 
-def synthetic_am(task: "LvcsrTask", scale: float = 4.0):
+def synthetic_am(task: "LvcsrTask", scale: float = 4.0, var: float = 0.25):
     """A well-separated diagonal GMM over D = num_pdfs feature dims (mean of
     pdf p = scale·e_p): lets WER gates exercise the FULL lexicon/LM/HMM
-    semantics of the big graph with near-noiseless acoustics."""
+    semantics of the big graph with near-noiseless acoustics.  Pass
+    var = noise² to match `synthesize_utterance`'s noise level (a
+    well-calibrated AM — the WER-vs-pruning study needs the
+    acoustic/LM balance realistic, not variance-mis-specified)."""
     from dsr_tpu.asr.am.gmm import GmmParams
     import jax.numpy as jnp
 
     P = task.num_pdfs
     means = (scale * np.eye(P, dtype=np.float32))[:, None, :]
-    var = np.full((P, 1, P), 0.25, np.float32)
+    var = np.full((P, 1, P), var, np.float32)
     logw = np.zeros((P, 1), np.float32)
     return GmmParams(jnp.asarray(means), jnp.asarray(var), jnp.asarray(logw))
 
@@ -285,7 +288,7 @@ def build_task_tri(cfg: LvcsrConfig = LvcsrConfig(vocab_size=300,
                         P_leaves, am_means, bstats)
 
 
-def synthetic_am_tri(task: LvcsrTriTask):
+def synthetic_am_tri(task: LvcsrTriTask, var: float = 0.25):
     """Diagonal GMM over the tied leaves (means = analytic leaf means)."""
     from dsr_tpu.asr.am.gmm import GmmParams
     import jax.numpy as jnp
@@ -293,7 +296,7 @@ def synthetic_am_tri(task: LvcsrTriTask):
     P, D = task.am_means.shape
     return GmmParams(
         jnp.asarray(task.am_means[:, None, :]),
-        jnp.full((P, 1, D), 0.25, jnp.float32),
+        jnp.full((P, 1, D), var, jnp.float32),
         jnp.zeros((P, 1), jnp.float32),
     )
 

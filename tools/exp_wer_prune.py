@@ -70,7 +70,7 @@ def main():
 
     task = lvcsr.build_task(lvcsr.LvcsrConfig())
     tg = tk.build_token_graph(task.graph)
-    params = lvcsr.synthetic_am(task)
+    params = lvcsr.synthetic_am(task, var=NOISE ** 2)
     sents = make_sentences(task, lvcsr)
     batch, lens = pad_feats([
         lvcsr.synthesize_utterance(task, s, rng, noise=NOISE)
@@ -125,7 +125,7 @@ def main():
     try:
         ttask = lvcsr.build_task_tri()
         ttg = tk.build_token_graph(ttask.graph)
-        tparams = lvcsr.synthetic_am_tri(ttask)
+        tparams = lvcsr.synthetic_am_tri(ttask, var=NOISE ** 2)
         rng2 = np.random.default_rng(SEED + 1)
         tsents = make_sentences(ttask, lvcsr)
         tbatch, tlens = pad_feats([
