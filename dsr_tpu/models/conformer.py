@@ -18,6 +18,7 @@ sharded == dense.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -170,3 +171,98 @@ def greedy_ctc_decode(logits, length=None) -> np.ndarray:
             out.append(int(i))
         prev = i
     return np.asarray(out, np.int32)
+
+
+NEG = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=("beam", "max_len"))
+def _beam_ctc_impl(logp, length, lm, lm_weight, bonus, *, beam, max_len):
+    T, V1 = logp.shape
+
+    def lse(a, b):
+        m = jnp.maximum(a, b)
+        ms = jnp.where(m > NEG / 2, m, 0.0)
+        return jnp.where(m > NEG / 2,
+                         ms + jnp.log(jnp.exp(a - ms) + jnp.exp(b - ms)), NEG)
+
+    prefixes0 = jnp.zeros((beam, max_len), jnp.int32)
+    lens0 = jnp.zeros((beam,), jnp.int32)
+    last0 = jnp.zeros((beam,), jnp.int32)          # 0 = <s>/blank sentinel
+    pb0 = jnp.full((beam,), NEG).at[0].set(0.0)
+    pnb0 = jnp.full((beam,), NEG)
+
+    def step(carry, inp):
+        prefixes, lens, last, pb, pnb = carry
+        t, lp = inp
+        tot = lse(pb, pnb)                                      # (B,)
+        # column 0: stay on the same prefix (blank, or repeat of `last`)
+        pb_stay = tot + lp[0]
+        pnb_stay = pnb + lp[last]
+        stay_tot = lse(pb_stay, pnb_stay)
+        # columns 1..V: extend with char c — a repeat of `last` may only
+        # cross a blank (pb); anything else extends from the full mass —
+        # plus shallow LM fusion lm[last, c] and the insertion bonus
+        base = jnp.where(jnp.arange(1, V1)[None, :] == last[:, None],
+                         pb[:, None], tot[:, None])             # (B, V)
+        ext = base + lp[1:][None, :] + lm_weight * lm[last, 1:] + bonus
+        scores = jnp.concatenate([stay_tot[:, None], ext], axis=1)
+        top, idx = jax.lax.top_k(scores.reshape(-1), beam)
+        parent = idx // V1
+        col = idx % V1
+        is_stay = col == 0
+        new_prefixes = prefixes[parent]
+        new_lens = jnp.where(is_stay, lens[parent],
+                             jnp.minimum(lens[parent] + 1, max_len))
+        pos = jnp.clip(lens[parent], 0, max_len - 1)
+        ext_prefixes = new_prefixes.at[jnp.arange(beam), pos].set(col)
+        new_prefixes = jnp.where(is_stay[:, None], new_prefixes, ext_prefixes)
+        new_last = jnp.where(is_stay, last[parent], col)
+        new_pb = jnp.where(is_stay, pb_stay[parent], NEG)
+        new_pnb = jnp.where(is_stay, pnb_stay[parent], top)
+        keep = t < length                       # padded frames: no update
+        out = tuple(
+            jnp.where(keep, n, o)
+            for n, o in [(new_prefixes, prefixes), (new_lens, lens),
+                         (new_last, last), (new_pb, pb), (new_pnb, pnb)]
+        )
+        return out, None
+
+    (prefixes, lens, last, pb, pnb), _ = jax.lax.scan(
+        step, (prefixes0, lens0, last0, pb0, pnb0),
+        (jnp.arange(T), logp))
+    total = lse(pb, pnb)
+    b = jnp.argmax(total)
+    return prefixes[b], lens[b], total[b]
+
+
+def beam_ctc_decode(logits, beam: int = 8, length=None, lm_logprobs=None,
+                    lm_weight: float = 0.3, bonus: float = 0.0,
+                    max_len: int = 64):
+    """CTC prefix beam search with optional n-gram shallow fusion —
+    TPU-native: one `lax.scan` over frames, every frame scoring all
+    B·(V+1) prefix extensions at once (stay = blank/repeat mass merged per
+    beam; a repeated label only crosses a blank, the CTC rule greedy
+    decoding ignores).  Cross-parent prefix merging is intentionally
+    omitted (the fixed-width top-k keeps shapes static; duplicated
+    prefixes under-count mass slightly — the standard production
+    trade-off).
+
+    lm_logprobs: (V+1, V+1) table, [prev, c] = log P(c | prev) with row/
+    col 0 the sentence-start/blank sentinel, fused as
+    `score += lm_weight · lm[last, c] + bonus` per emitted word.
+    Returns (ids (np, ≤max_len), total_logprob).  Reference `asr/decoder`
+    n-best + LM-rescoring surface [K] in CTC form."""
+    logits = jnp.asarray(logits)
+    T, V1 = logits.shape
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if lm_logprobs is None:
+        lm = jnp.zeros((V1, V1), jnp.float32)
+    else:
+        lm = jnp.asarray(lm_logprobs, jnp.float32)
+    ln = jnp.asarray(T if length is None else length, jnp.int32)
+    ids, n, score = _beam_ctc_impl(logp, ln, lm, jnp.float32(lm_weight),
+                                   jnp.float32(bonus), beam=beam,
+                                   max_len=max_len)
+    n = int(n)
+    return np.asarray(ids)[:n], float(score)
