@@ -8,6 +8,8 @@ same per-speaker estimation runs before decoding (the adaptation cascade).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +49,15 @@ def sat_iteration_batched(params, feats, gammas, gamma_fn=None,
     scale (round-2 VERDICT weak #7); the dict-based variant remains the
     convenient small-corpus API.
     """
+    # jit cached per (gamma_fn identity, hyperparams): a training loop
+    # calling this every SAT round must not rebuild the PjitFunction and
+    # re-trace (review round 3)
+    return _sat_jitted(gamma_fn, fmllr_iters, var_floor)(
+        params, jnp.asarray(feats), jnp.asarray(gammas))
+
+
+@functools.lru_cache(maxsize=None)
+def _sat_jitted(gfn, iters, vfloor):
     import jax
 
     def body(params, feats, gammas):
@@ -55,15 +66,15 @@ def sat_iteration_batched(params, feats, gammas, gamma_fn=None,
         )(feats, gammas)                                   # pooled per spk
         Ws = jax.vmap(
             lambda G, k, b: fmllr.estimate_fmllr(
-                fmllr.FmllrStats(G, k, b), iters=fmllr_iters)
+                fmllr.FmllrStats(G, k, b), iters=iters)
         )(stats.G, stats.k, stats.beta)                    # (NS, D, D+1)
         ft = jax.vmap(fmllr.apply_fmllr)(feats, Ws)        # (NS, U, T, D)
-        g2 = gammas if gamma_fn is None else gamma_fn(params, ft)
+        g2 = gammas if gfn is None else gfn(params, ft)
         S, C, D = params.means.shape
         acc = ml.accumulate(params, ft, g2, ml.zero_accum(S, C, D))
-        return ml.mstep(acc, var_floor=var_floor), Ws
+        return ml.mstep(acc, var_floor=vfloor), Ws
 
-    return jax.jit(body)(params, jnp.asarray(feats), jnp.asarray(gammas))
+    return jax.jit(body)
 
 
 def sat_iteration(params, speakers: dict, gamma_fn, num_comp: int, var_floor: float = 1e-3):

@@ -234,6 +234,11 @@ def decode_split(graph: SplitTokenGraph, loglik, kcap: int = 256,
     jax.vmap (the select kernel stacks the batch into one kernel)."""
     T = loglik.shape[0]
     kcap = min(kcap, graph.num_states)
+    if kcap % 128 or kcap < 128:
+        raise ValueError(
+            "decode_split requires kcap a multiple of 128 (the Pallas "
+            f"select kernel is its only selection path); got {kcap} — "
+            "use the dense topk_decoder for small graphs")
     ln = jnp.asarray(T if length is None else length, jnp.int32)
     arcs, valid, score, spills, ovf = _decode_split_impl(
         loglik, ln, graph.packed, graph.ov_packed, graph.src_of_row,

@@ -176,8 +176,12 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
             out = (states_out, bp_arc, scores_out, spill & keep)
             return (states_out, scores_out), out
         # token recombination WITHOUT a scatter: lexicographic sort by
-        # (dst, -score); the first candidate of each dst run is its max
-        sd, sneg, sa = jax.lax.sort((fdst, -flat, arc_ids), num_keys=2)
+        # (dst, -score, arc): the first candidate of each dst run is its
+        # max.  The arc id is a SORT KEY (num_keys=3), not a stable
+        # payload, so exact-score ties resolve to the smallest arc id —
+        # the same rule the Pallas select kernel uses, which is what
+        # makes its spill certificate sound (review round 3)
+        sd, sneg, sa = jax.lax.sort((fdst, -flat, arc_ids), num_keys=3)
         first = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
         val = jnp.where(first, -sneg, NEG)
         # beam prune + top-K (histogram prune analogue)
@@ -397,8 +401,11 @@ def decode_with_tokens(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
         num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
         nlat=min(nlat, graph.a_max * kcap), select_mode=select_mode,
     )
-    if nlat == 0 and len(out) == 6 and not return_spill:
+    if nlat == 0 and not return_spill and len(out) == 6:
         out = out[:5]
+    if return_spill and len(out) == 5:
+        # XLA path engaged (shape/mode gate): spill is identically False
+        out = out + (jnp.zeros((T,), bool),)
     return out
 
 
@@ -417,6 +424,8 @@ def decode_batch(graph: TokenGraph, loglik: jnp.ndarray, lengths, kcap: int = 25
         )
     )
     out = f(loglik, jnp.asarray(lengths, jnp.int32))
-    if return_spill and len(out) == 6:
-        return out[0], out[1], out[5]
+    if return_spill:
+        spill = (out[5] if len(out) == 6 else
+                 jnp.zeros(out[0].shape, bool))   # XLA path: never spills
+        return out[0], out[1], spill
     return out[0], out[1]

@@ -205,6 +205,9 @@ def _beam_ctc_impl(logp, length, lm, lm_weight, bonus, *, beam, max_len):
         # plus shallow LM fusion lm[last, c] and the insertion bonus
         base = jnp.where(jnp.arange(1, V1)[None, :] == last[:, None],
                          pb[:, None], tot[:, None])             # (B, V)
+        # a full prefix cannot extend (silently overwriting the last slot
+        # while accumulating score corrupted the hypothesis — review r3)
+        base = jnp.where((lens < max_len)[:, None], base, NEG)
         ext = base + lp[1:][None, :] + lm_weight * lm[last, 1:] + bonus
         scores = jnp.concatenate([stay_tot[:, None], ext], axis=1)
         top, idx = jax.lax.top_k(scores.reshape(-1), beam)
@@ -212,8 +215,7 @@ def _beam_ctc_impl(logp, length, lm, lm_weight, bonus, *, beam, max_len):
         col = idx % V1
         is_stay = col == 0
         new_prefixes = prefixes[parent]
-        new_lens = jnp.where(is_stay, lens[parent],
-                             jnp.minimum(lens[parent] + 1, max_len))
+        new_lens = jnp.where(is_stay, lens[parent], lens[parent] + 1)
         pos = jnp.clip(lens[parent], 0, max_len - 1)
         ext_prefixes = new_prefixes.at[jnp.arange(beam), pos].set(col)
         new_prefixes = jnp.where(is_stay[:, None], new_prefixes, ext_prefixes)
@@ -246,7 +248,9 @@ def beam_ctc_decode(logits, beam: int = 8, length=None, lm_logprobs=None,
     decoding ignores).  Cross-parent prefix merging is intentionally
     omitted (the fixed-width top-k keeps shapes static; duplicated
     prefixes under-count mass slightly — the standard production
-    trade-off).
+    trade-off).  Prefixes are capped at `max_len` labels: a full beam can
+    only continue through blanks/repeats (size max_len generously —
+    hypotheses needing more labels are not representable).
 
     lm_logprobs: (V+1, V+1) table, [prev, c] = log P(c | prev) with row/
     col 0 the sentence-start/blank sentinel, fused as

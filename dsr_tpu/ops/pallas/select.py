@@ -47,7 +47,10 @@ branch-free, need no cross-lane gathers, and form a total order (arc ids
 are distinct).
 
 Approximation contract: the result equals the XLA path's EXCEPT when some
-lane holds more than Q of the frame's winning candidates.  The kernel
+lane holds more than Q of the frame's winning candidates.  Exact-score
+ties resolve identically on both paths — smallest arc id — because the
+XLA sort keys on (dst, -score, ARC) with num_keys=3 (review round 3: a
+stable-sort position tie-break would silently diverge with spill=False).  The kernel
 emits each lane's best EXCLUDED score (`excl`); the caller derives a
 per-frame `spill` flag — spill=False is a machine-checked certificate
 that the frame is exact (everything dropped scores below every kept
@@ -231,6 +234,13 @@ _U_MAX = 8   # blocks per kernel call: U·R·128·4B·3 planes must fit VMEM
 
 def _impl(cand, fdst, arcs, beam, kcap, q):
     """cand/fdst/arcs: (U, N).  Returns (U,kcap) planes + (U,) spill."""
+    if q < 1 or (q & (q - 1)):
+        raise ValueError(f"q must be a power of two, got {q}")
+    if kcap % LANES or kcap > q * LANES:
+        raise ValueError(
+            f"kcap must be a multiple of {LANES} and <= q*{LANES} "
+            f"(got kcap={kcap}, q={q}): the pool's leading kcap/{LANES} "
+            "rows are the output")
     U, n = cand.shape
     if U > _U_MAX:
         outs = [_impl(cand[i:i + _U_MAX], fdst[i:i + _U_MAX],

@@ -122,7 +122,7 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
                            ).reshape(-1)
                 # ---- local sort-recombine → my top-Kcap ------------------
                 sd, sneg, sa, so = jax.lax.sort(
-                    (fdst, -flat, arc_ids, folab), num_keys=2
+                    (fdst, -flat, arc_ids, folab), num_keys=3
                 )
                 first = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
                 val = jnp.where(first, -sneg, NEG)
@@ -134,7 +134,7 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
                 ga = jax.lax.all_gather(loc_a, "model", tiled=True)
                 go = jax.lax.all_gather(loc_o, "model", tiled=True)
                 # ---- replicated merge: recombine across shards -----------
-                md, mneg, ma, mo = jax.lax.sort((gd, -gv, ga, go), num_keys=2)
+                md, mneg, ma, mo = jax.lax.sort((gd, -gv, ga, go), num_keys=3)
                 firstm = jnp.concatenate([jnp.ones((1,), bool), md[1:] != md[:-1]])
                 mval = jnp.where(firstm, -mneg, NEG)
                 mx = jnp.max(mval)

@@ -79,9 +79,14 @@ class LeaseBoard:
         still hold (same guard as `release`): if we stalled past stale_s
         and a peer broke + re-claimed, overwriting would hijack the peer's
         live lease and our later release() would delete it — enabling a
-        third concurrent claim."""
+        third concurrent claim.  A MISSING lease also skips the beat: the
+        break protocol renames-then-unlinks before re-claiming, so None
+        means a break (or release) is in flight and recreating the file
+        here would race the peer's claim.  (holder()→replace is still not
+        atomic — filesystem leases are at-least-once by contract — but
+        neither remaining interleaving can recreate a deleted lease.)"""
         h = self.holder(key)
-        if h is not None and h.get("worker") != self.worker_id:
+        if h is None or h.get("worker") != self.worker_id:
             return
         path = self._lease_path(key)
         tmp = path + f".beat.{self.worker_id}"
