@@ -150,3 +150,24 @@ def test_neural_beamformer_forward_grad_and_snr():
     # equal PSDs; just require finite, non-degenerate output
     y = np.asarray(jfb.synthesis(Y, cfg, S))
     assert np.all(np.isfinite(y)) and np.std(y) > 0
+
+
+def test_beam_ctc_matches_golden_reference():
+    """The jnp scan equals the NumPy conventions oracle (golden/ctc.py)
+    — same fixed-width prefix beam contract — on random logits, with and
+    without LM fusion."""
+    from golden.ctc import beam_ctc_reference
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        V = int(rng.integers(3, 9))
+        T = int(rng.integers(4, 18))
+        logits = rng.standard_normal((T, V + 1)).astype(np.float32) * 2
+        lm = rng.standard_normal((V + 1, V + 1)).astype(np.float32)
+        for lmw in (0.0, 0.7):
+            ids_j, sc_j = cfm.beam_ctc_decode(logits, beam=4,
+                                              lm_logprobs=lm, lm_weight=lmw)
+            ids_r, sc_r = beam_ctc_reference(np.asarray(logits, np.float64),
+                                             beam=4, lm=lm, lm_weight=lmw)
+            assert list(ids_j) == ids_r, (trial, lmw, list(ids_j), ids_r)
+            assert abs(sc_j - sc_r) < 1e-3, (trial, lmw, sc_j, sc_r)
