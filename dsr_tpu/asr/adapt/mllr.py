@@ -81,6 +81,9 @@ def build_regression_tree(params: GmmParams, occ, n_leaves: int = 4,
                           iters: int = 10, seed: int = 0) -> RegressionTree:
     """Occupancy-weighted binary splitting of the Gaussian means into
     `n_leaves` regression classes; returns the full tree for back-off."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters}): the 2-means "
+                         "refinement defines the split assignment")
     S, C, D = params.means.shape
     mu = np.asarray(params.means).reshape(S * C, D)
     w = np.maximum(np.asarray(occ).reshape(S * C), 1e-8)

@@ -104,13 +104,22 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
     select_mode: "auto" dispatches the recombine/beam/top-K stage to the
     Pallas kernel (ops/pallas/select.py) at supported shapes — it replaces
     the two full candidate sorts and is ~2.7x faster on-chip (KERNELS.md);
-    "xla" forces the sort path (the lattice/nlat path always uses it).
-    The kernel path appends a per-frame `spill` flag to the step outputs:
-    its sum certifies how many frames are bit-exact vs the sort path."""
+    "xla" forces the sort path; "pallas" REQUIRES the kernel and raises at
+    unsupported shapes (so a benchmark labelled pallas can never silently
+    measure the sort path — review round 4).
+    Every step emits a per-frame `spill` flag LAST: the kernel path's
+    value-based exactness certificate (its sum counts frames that may
+    diverge from the sort path); the XLA path emits constant False."""
     S = num_states
     from dsr_tpu.ops.pallas import select as _sel
-    use_pallas = (select_mode != "xla" and not approx_topk
-                  and _sel.supported(kcap * a_max, kcap, nlat))
+    sup = _sel.supported(kcap * a_max, kcap, nlat, q=select_q)
+    if select_mode == "pallas" and (approx_topk or not sup):
+        raise ValueError(
+            f"select_mode='pallas' but the select kernel does not cover "
+            f"this shape (candidates={kcap * a_max}, kcap={kcap}, "
+            f"nlat={nlat}, approx_topk={approx_topk}); use 'auto' for "
+            "silent fallback to the XLA sorts")
+    use_pallas = select_mode != "xla" and not approx_topk and sup
     # Cross-lane gathers serialise on the TPU; for small/medium graphs the
     # token-row lookups are cheaper as one-hot matmuls on the MXU.  Integer
     # id tables go through HIGHEST-precision matmuls (ids above 256 are NOT
@@ -201,6 +210,7 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
         scores_out = jnp.where(keep, new_scores, scores)
         bp_arc = jnp.where(keep & alive, sa[idx], -1)
         out = (states_out, bp_arc, scores_out)
+        spill = jnp.zeros((), bool)    # the sort path is the reference
         if nlat:
             # LATTICE arcs: the sorted candidates are grouped by dst, best
             # first, and idx[k] is the START of slot k's run — so its top-N
@@ -217,7 +227,7 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
             alt_arcs = jnp.where(ok, sa[posc], -1)
             alt_scores = jnp.where(ok, v, NEG)
             out = out + (alt_arcs, alt_scores)
-        return (states_out, scores_out), out
+        return (states_out, scores_out), out + (spill,)
 
     return step
 
@@ -262,15 +272,23 @@ def _bucket_len(T: int) -> int:
 
 
 def decode_chunk(graph: TokenGraph, loglik: jnp.ndarray, carry,
-                 kcap: int = 256, beam: float = 1e9, nlat: int = 0):
+                 kcap: int = 256, beam: float = 1e9, nlat: int = 0,
+                 select_mode: str = "auto", return_spill: bool = False):
     """Streaming decode of one chunk (SURVEY.md §5 long-context: chunked
     scan with carried decoder state).
 
     carry = (states (kcap,), scores (kcap,)) from `stream_start` or the
     previous chunk.  Returns (new_carry, (tok_states, tok_arcs, tok_scores
-    [, alt_arcs, alt_scores])) — accumulate the token arrays and run
-    `traceback` at utterance end; the result is IDENTICAL to the
+    [, alt_arcs, alt_scores][, spill])) — accumulate the token arrays and
+    run `traceback` at utterance end; the result is IDENTICAL to the
     whole-utterance decode (the scan carry is the decoder's only state).
+
+    select_mode plumbs through to the recombine/top-K stage exactly as in
+    `decode_with_tokens` ("xla" forces the exact sort path; "pallas"
+    raises at unsupported shapes); return_spill=True appends the per-frame
+    spill flags (T,) — all-False certifies the chunk is exact vs the sort
+    path (a spilled frame previously diverged silently with no way to
+    detect or avoid it — review round 4).
 
     Chunks are padded internally to `CHUNK_BUCKETS` lengths (compile-cache
     hygiene on the axon runtime) and the outputs sliced back — callers see
@@ -285,10 +303,10 @@ def decode_chunk(graph: TokenGraph, loglik: jnp.ndarray, carry,
         loglik, jnp.asarray(T, jnp.int32), carry[0], carry[1], graph.pdf,
         graph.olabel, graph.weight, graph.dst, num_states=graph.num_states,
         a_max=graph.a_max, kcap=kcap, beam=beam,
-        nlat=min(nlat, graph.a_max * kcap),
+        nlat=min(nlat, graph.a_max * kcap), select_mode=select_mode,
     )
-    if nlat == 0 and len(outs) == 4:
-        outs = outs[:3]          # drop the Pallas-path spill flags: chunk
+    if not return_spill:
+        outs = outs[:-1]         # spill flags are always emitted last
     if B != T:                   # callers accumulate (states, arcs, scores)
         outs = tuple(o[:T] for o in outs)
     return new_carry, outs
@@ -389,23 +407,21 @@ def decode_with_tokens(graph: TokenGraph, loglik: jnp.ndarray, kcap: int = 256,
     lattice links for sum-posterior forward-backward and oracle search
     (reference asr/lattice [K])].
 
-    return_spill=True (Pallas select path only) appends the per-frame
-    spill flags (T,) — all-False certifies the decode is exact vs the
-    sort path (ops/pallas/select.py docstring)."""
-    T = loglik.shape[0]
+    return_spill=True appends the per-frame spill flags (T,) in a FIXED
+    last position regardless of nlat — all-False certifies the decode is
+    exact vs the sort path (ops/pallas/select.py docstring; the XLA path
+    emits constant False)."""
     kcap = min(kcap, graph.num_states)
-    length = jnp.asarray(T if length is None else length, jnp.int32)
+    length = jnp.asarray(loglik.shape[0] if length is None else length,
+                         jnp.int32)
     out = _decode_impl(
         loglik, length, graph.pdf, graph.olabel, graph.weight, graph.dst,
         graph.start, graph.final_weight,
         num_states=graph.num_states, a_max=graph.a_max, kcap=kcap, beam=beam,
         nlat=min(nlat, graph.a_max * kcap), select_mode=select_mode,
     )
-    if nlat == 0 and not return_spill and len(out) == 6:
-        out = out[:5]
-    if return_spill and len(out) == 5:
-        # XLA path engaged (shape/mode gate): spill is identically False
-        out = out + (jnp.zeros((T,), bool),)
+    if not return_spill:
+        out = out[:-1]           # spill flags are always emitted last
     return out
 
 
@@ -425,7 +441,5 @@ def decode_batch(graph: TokenGraph, loglik: jnp.ndarray, lengths, kcap: int = 25
     )
     out = f(loglik, jnp.asarray(lengths, jnp.int32))
     if return_spill:
-        spill = (out[5] if len(out) == 6 else
-                 jnp.zeros(out[0].shape, bool))   # XLA path: never spills
-        return out[0], out[1], spill
+        return out[0], out[1], out[-1]    # spill flags are always last
     return out[0], out[1]

@@ -19,9 +19,13 @@ ever fully sorted, entirely in VMEM.
       of pltpu.roll axis-0 — Mosaic's native unaligned row shift), all
       128 lanes in parallel; rows 0..Q-1 form the pool, row Q is each
       lane's best EXCLUDED score (the spill certificate, below).
-  S3  the (Q,128) pool (2048 candidates at Q=16) is bitonic-sorted IN
-      VMEM by (dst asc, score desc, arc asc) — 66 stages of lane/sublane
-      rolls in row-major flat order.
+      Utterances wider than 128 rows presort in 128-row SUB-blocks, each
+      contributing a per-lane top-Q: the pool scales with the candidate
+      count (kcap=512 / a_max=263 triphone shapes run on-chip; the
+      round-3 kernel gated out everything past 16384 candidates).
+  S3  the (Q,128) pool (2048 candidates at Q=16 and one sub-block) is
+      bitonic-sorted IN VMEM by (dst asc, score desc, arc asc) — 66
+      stages of lane/sublane rolls in row-major flat order.
   S4  recombination = neighbour compare in flat order (the first of each
       dst run is that state's max), losers' scores → NEG.
   S5  final top-kcap: one more flat bitonic by score; the leading
@@ -192,67 +196,95 @@ def _block_max(x, qrows):
 
 def _select_kernel(val_ref, dst_ref, arc_ref, beam_ref, vo_ref, do_ref,
                    ao_ref, excl_ref, *, nblk, rblk, q, kcap):
+    """nblk utterance blocks of rblk rows.  Blocks wider than 128 rows
+    presort in 128-row SUB-blocks (each contributing a per-lane top-q),
+    so the pool grows with the candidate count instead of the presort
+    depth — this is what lifts the former 16384-candidate gate (round-4
+    big-pool select: kcap=512 / wide-fan-out graphs)."""
+    pb = min(rblk, 128)          # presort block rows
+    ns = rblk // pb              # sub-blocks per utterance
+    qr = ns * q                  # pool rows per utterance
     val = val_ref[...]
     dst = dst_ref[...]
     arc = arc_ref[...]
-    # S2: per-lane bitonic presort by score; rows 0..q-1 of each block.
+    # S2: per-lane bitonic presort by score; rows 0..q-1 of each sub-block.
     # (Beam masking NEGs a suffix of each lane's sorted order, so pruning
     # commutes with the presort and is applied to the pool below.)
     val, dst, arc = _bitonic_sublane((val, dst, arc), _less_score_desc,
-                                     rblk)
-    pv = _blocks(val, rblk, nblk, 0, q)
-    pd = _blocks(dst, rblk, nblk, 0, q)
-    pa = _blocks(arc, rblk, nblk, 0, q)
-    excl = _blocks(val, rblk, nblk, q, q + 1)
-    # S1: beam prune against each utterance's frame max (= row 0 of its
-    # presorted block, spread block-wide)
-    mx = _block_max(pv, q)
-    beam = beam_ref[0]
-    pv = jnp.where(pv > mx - beam, pv, NEG)
+                                     pb)
+    pv = _blocks(val, pb, nblk * ns, 0, q)
+    pd = _blocks(dst, pb, nblk * ns, 0, q)
+    pa = _blocks(arc, pb, nblk * ns, 0, q)
+    excl = _blocks(val, pb, nblk * ns, q, q + 1)   # (nblk*ns, LANES)
+    if ns > 1:
+        # per-utterance excluded max across its ns sub-block rows
+        excl = _blocks(_block_max(excl, ns), ns, nblk, 0, 1)
+    # S1: beam prune against each utterance's frame max (pool max spread
+    # block-wide).  beam_ref is a (U, 128) plane — genuinely
+    # per-utterance beams batch through (the custom_vmap rule used to
+    # silently apply utterance 0's beam; review round 4).
+    mx = _block_max(pv, qr)
+    beam = beam_ref[...]                                   # (nblk, LANES)
+    beam_pool = (jnp.broadcast_to(beam, (qr, LANES)) if nblk == 1 else
+                 jnp.concatenate(
+                     [jnp.broadcast_to(beam[u:u + 1], (qr, LANES))
+                      for u in range(nblk)], axis=0))
+    pv = jnp.where(pv > mx - beam_pool, pv, NEG)
     excl_ref[...] = jnp.where(
-        excl > _blocks(mx, q, nblk, 0, 1) - beam, excl, NEG)
+        excl > _blocks(mx, qr, nblk, 0, 1) - beam, excl, NEG)
     # S3: group by destination state
-    pv, pd, pa = _bitonic_flat((pv, pd, pa), _less_dst, q)
+    pv, pd, pa = _bitonic_flat((pv, pd, pa), _less_dst, qr)
     # S4: recombination — the first of each dst run is that state's max
     prev_d = _flat_prev(pd)
     ri = jax.lax.broadcasted_iota(jnp.int32, pv.shape, 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, pv.shape, 1)
-    first = (((ri & (q - 1)) == 0) & (ci == 0)) | (prev_d != pd)
+    first = (((ri & (qr - 1)) == 0) & (ci == 0)) | (prev_d != pd)
     pv = jnp.where(first, pv, NEG)
     # S5: final top-kcap = one more flat sort by score
-    pv, pd, pa = _bitonic_flat((pv, pd, pa), _less_score_desc, q)
+    pv, pd, pa = _bitonic_flat((pv, pd, pa), _less_score_desc, qr)
     rows_out = kcap // LANES
-    vo = _blocks(pv, q, nblk, 0, rows_out)
+    vo = _blocks(pv, qr, nblk, 0, rows_out)
     alive = vo > NEG / 2
     vo_ref[...] = vo
-    do_ref[...] = jnp.where(alive, _blocks(pd, q, nblk, 0, rows_out), 0)
-    ao_ref[...] = jnp.where(alive, _blocks(pa, q, nblk, 0, rows_out), -1)
+    do_ref[...] = jnp.where(alive, _blocks(pd, qr, nblk, 0, rows_out), 0)
+    ao_ref[...] = jnp.where(alive, _blocks(pa, qr, nblk, 0, rows_out), -1)
 
 
-_U_MAX = 8   # blocks per kernel call: U·R·128·4B·3 planes must fit VMEM
+_ROW_BUDGET = 1024   # U·R rows per kernel call: ·128·4B·3 planes + the
+                     # bitonic stage temporaries must fit VMEM
 
 
-def _impl(cand, fdst, arcs, beam, kcap, q):
-    """cand/fdst/arcs: (U, N).  Returns (U,kcap) planes + (U,) spill."""
-    if q < 1 or (q & (q - 1)):
-        raise ValueError(f"q must be a power of two, got {q}")
-    if kcap % LANES or kcap > q * LANES:
-        raise ValueError(
-            f"kcap must be a multiple of {LANES} and <= q*{LANES} "
-            f"(got kcap={kcap}, q={q}): the pool's leading kcap/{LANES} "
-            "rows are the output")
-    U, n = cand.shape
-    if U > _U_MAX:
-        outs = [_impl(cand[i:i + _U_MAX], fdst[i:i + _U_MAX],
-                      arcs[i:i + _U_MAX], beam, kcap, q)
-                for i in range(0, U, _U_MAX)]
-        return tuple(jnp.concatenate(parts, axis=0)
-                     for parts in zip(*outs))
+def _shape_plan(n, q):
+    """(R rows per utterance block, pool rows qr) for n candidates."""
     rows = -(-n // LANES)
     R = 1
     while R < rows:
         R *= 2
     R = max(R, 2 * q)
+    qr = max(R // 128, 1) * q
+    return R, qr
+
+
+def _impl(cand, fdst, arcs, beam, kcap, q):
+    """cand/fdst/arcs: (U, N); beam scalar or (U,).  Returns (U,kcap)
+    planes + (U,) spill."""
+    if q < 1 or (q & (q - 1)):
+        raise ValueError(f"q must be a power of two, got {q}")
+    U, n = cand.shape
+    R, qr = _shape_plan(n, q)
+    if kcap % LANES or kcap > qr * LANES:
+        raise ValueError(
+            f"kcap must be a multiple of {LANES} and <= pool rows*{LANES} "
+            f"(got kcap={kcap}, q={q}, pool rows={qr}): the pool's "
+            f"leading kcap/{LANES} rows are the output")
+    beam = jnp.broadcast_to(jnp.asarray(beam, jnp.float32), (U,))
+    u_max = max(1, _ROW_BUDGET // R)
+    if U > u_max:
+        outs = [_impl(cand[i:i + u_max], fdst[i:i + u_max],
+                      arcs[i:i + u_max], beam[i:i + u_max], kcap, q)
+                for i in range(0, U, u_max)]
+        return tuple(jnp.concatenate(parts, axis=0)
+                     for parts in zip(*outs))
     padn = R * LANES - n
 
     def prep(x, fill):
@@ -272,7 +304,7 @@ def _impl(cand, fdst, arcs, beam, kcap, q):
             jax.ShapeDtypeStruct((U, LANES), jnp.float32),
         ],
         interpret=use_interpret(),
-    )(val, dst, arc, jnp.reshape(beam, (1,)).astype(jnp.float32))
+    )(val, dst, arc, jnp.broadcast_to(beam[:, None], (U, LANES)))
     scores = vv.reshape(U, kcap)
     alive = scores > NEG / 2
     minsel = jnp.min(jnp.where(alive, scores, jnp.inf), axis=1)
@@ -295,8 +327,11 @@ def _make_topk(kcap, q):
         cb, fb, ab, bb = in_batched
         bc = lambda x, isb: x if isb else jnp.broadcast_to(
             x, (axis_size,) + x.shape)
-        b = beam[0] if bb else beam   # beam is replicated across the batch
-        out = _impl(bc(cand, cb), bc(fdst, fb), bc(arcs, ab), b, kcap, q)
+        # a batched beam is a genuinely per-utterance (U,) beam and rides
+        # the kernel's (U, 128) beam plane (it was previously collapsed to
+        # utterance 0's value — review round 4)
+        out = _impl(bc(cand, cb), bc(fdst, fb), bc(arcs, ab),
+                    bc(beam, bb), kcap, q)
         return out, (True, True, True, True)
 
     return topk1
@@ -307,16 +342,21 @@ def recombine_topk(cand, fdst, arcs, beam, *, kcap, q=16):
 
     cand/fdst/arcs: flat (N,) candidate scores / destination states / arc
     ids (batch via jax.vmap — the batching rule stacks utterances into one
-    kernel).  Returns (scores (kcap,), dst (kcap,) i32, arc (kcap,) i32,
-    spill ()); spill=False certifies exact equality with the sort-based
-    reference path (module docstring)."""
+    kernel; `beam` may be vmapped too for per-utterance beams).  Returns
+    (scores (kcap,), dst (kcap,) i32, arc (kcap,) i32, spill ());
+    spill=False certifies exact equality with the sort-based reference
+    path (module docstring)."""
     return _make_topk(kcap, q)(cand, fdst, arcs,
                                jnp.asarray(beam, jnp.float32))
 
 
-def supported(n_candidates: int, kcap: int, nlat: int) -> bool:
+def supported(n_candidates: int, kcap: int, nlat: int, q: int = 16) -> bool:
     """Gate for the decoder's auto dispatch: the kernel covers the 1-best
-    path at production shapes; lattice (nlat>0) and tiny/huge configs stay
-    on the XLA sort path."""
-    return (nlat == 0 and kcap % LANES == 0 and kcap >= LANES
-            and n_candidates >= 4 * LANES and n_candidates <= 16384)
+    path up to VMEM-sized pools (R ≤ 2048 rows ≈ 262k candidates — the
+    former 16384 gate fell to the sub-block presort, so kcap=512 on the
+    wide-fan-out triphone HCLG runs on-chip); lattice (nlat>0) and tiny
+    configs stay on the XLA sort path."""
+    if nlat != 0 or kcap % LANES or kcap < LANES or n_candidates < 4 * LANES:
+        return False
+    R, qr = _shape_plan(n_candidates, q)
+    return R <= 2048 and kcap <= qr * LANES

@@ -51,6 +51,46 @@ def test_kernel_matches_sort_path(seed, n, kcap, ndst, beam):
     assert pairs(ks, kd, ka) == pairs(rs, rd, ra)
 
 
+@pytest.mark.parametrize("n,kcap,ndst,beam", [
+    (24064, 512, 20000, 1e9),   # monophone kcap=512 (past the old 16384 gate)
+    (24064, 512, 20000, 6.0),   # …with a binding beam
+    (40000, 256, 30000, 1e9),   # R=512: four presort sub-blocks
+])
+def test_kernel_big_pool_matches_sort_path(n, kcap, ndst, beam):
+    """Round-4 big-pool select: blocks wider than 128 rows presort in
+    128-row sub-blocks, each contributing a per-lane top-q to the pool."""
+    rng = np.random.default_rng(11)
+    cand = rng.standard_normal(n).astype(np.float32) * 5
+    fdst = rng.integers(0, ndst, n).astype(np.int32)
+    arcs = np.arange(n, dtype=np.int32)
+    rs, rd, ra = ref_select(cand, fdst, arcs, beam, kcap)
+    ks, kd, ka, spill = select.recombine_topk(
+        jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+        jnp.float32(beam), kcap=kcap)
+    assert not bool(spill), "random spread should not spill"
+    assert pairs(ks, kd, ka) == pairs(rs, rd, ra)
+
+
+def test_per_utterance_beams_batch():
+    """vmapped beams must apply each utterance's OWN beam (the batching
+    rule used to collapse to utterance 0's — review round 4)."""
+    import jax
+    rng = np.random.default_rng(5)
+    U, n, kcap = 3, 2048, 128
+    cand = rng.standard_normal((U, n)).astype(np.float32) * 5
+    fdst = rng.integers(0, 500, (U, n)).astype(np.int32)
+    arcs = np.broadcast_to(np.arange(n, dtype=np.int32), (U, n)).copy()
+    beams = np.asarray([1e9, 3.0, 0.5], np.float32)
+    ks, kd, ka, spill = jax.vmap(
+        lambda c, f, a, b: select.recombine_topk(c, f, a, b, kcap=kcap)
+    )(jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+      jnp.asarray(beams))
+    for u in range(U):
+        rs, rd, ra = ref_select(cand[u], fdst[u], arcs[u], beams[u], kcap)
+        assert not bool(spill[u])
+        assert pairs(ks[u], kd[u], ka[u]) == pairs(rs, rd, ra)
+
+
 def test_spill_flags_adversarial_lane():
     """Cram > q winners into one lane: the kernel must raise `spill`
     rather than silently drop them."""
@@ -61,6 +101,23 @@ def test_spill_flags_adversarial_lane():
     hot = 5 + 128 * np.arange(24)
     cand[hot] = 100.0 + np.arange(24)
     fdst = np.arange(n, dtype=np.int32)     # no dups: all are winners
+    arcs = np.arange(n, dtype=np.int32)
+    _, _, _, spill = select.recombine_topk(
+        jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+        jnp.float32(1e9), kcap=kcap, q=q)
+    assert bool(spill)
+
+
+def test_spill_flags_adversarial_lane_sub_block():
+    """Same, but the hot lane sits in the SECOND 128-row presort
+    sub-block of a big-pool (R=256) call."""
+    n, kcap, q = 24064, 128, 16
+    rng = np.random.default_rng(9)
+    cand = rng.standard_normal(n).astype(np.float32)
+    base = 128 * 128      # flat start of sub-block 1
+    hot = base + 7 + 128 * np.arange(24)
+    cand[hot] = 100.0 + np.arange(24)
+    fdst = np.arange(n, dtype=np.int32)
     arcs = np.arange(n, dtype=np.int32)
     _, _, _, spill = select.recombine_topk(
         jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
