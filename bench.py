@@ -189,6 +189,46 @@ def bench_decode(jax, jnp):
     }
 
 
+def bench_decode_tri(jax, jnp):
+    """Context-dependent LVCSR decode (the realistic config): tied-
+    triphone HCLG (213k states, a_max=263) through the DEGREE-SPLIT
+    decoder + select kernel at the accuracy-safe kcap=512 (PRUNING.md
+    round-4 table: WER identical to dense-exact at every setting)."""
+    from dsr_tpu.asr import lvcsr
+    from dsr_tpu.asr.decoder import split_decoder as sd
+
+    task = lvcsr.build_task_tri()
+    sg = sd.build_split_graph(task.graph)
+    U, T = 8, 1000
+    rng = np.random.default_rng(0)
+    ll = jax.device_put(rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32))
+    lens = jax.device_put(np.full(U, T, np.int32))
+    audio = U * T / 125.0
+
+    def run(kcap, eg):
+        out = sd.decode_batch_split(sg, ll, lens, kcap=kcap, beam=60.0, eg=eg)
+        float(jnp.sum(out[1]))                    # warmup / compile
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = sd.decode_batch_split(sg, ll, lens, kcap=kcap, beam=60.0,
+                                        eg=eg)
+            float(jnp.sum(out[1]))
+        return (time.perf_counter() - t0) / reps, out
+
+    dt512, out512 = run(512, 512)
+    dt256, out256 = run(256, 512)
+    return {
+        "audio_sec_per_s": round(audio / dt512, 2),
+        "rtf": round(dt512 / audio, 5),
+        "graph": {"states": sg.num_states, "overflow_groups": sg.num_groups,
+                  "a_max": 263, "kcap": 512, "eg": 512},
+        "path": "degree-split + Pallas select q=16",
+        "kcap256_audio_sec_per_s": round(audio / dt256, 2),
+        "overflow_frames": int(np.asarray(out512[3]).sum()),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -198,6 +238,10 @@ def main():
         dec = bench_decode(jax, jnp)
     except Exception as e:  # graph build needs the native core; never
         dec = {"error": repr(e)}  # silently drop the headline metric
+    try:
+        tri = bench_decode_tri(jax, jnp)
+    except Exception as e:
+        tri = {"error": repr(e)}
     print(
         json.dumps(
             {
@@ -213,7 +257,14 @@ def main():
                                   "(large-vocab trigram HCLG, top-K token passing)",
                         "unit": "audio-sec/s/chip",
                         **dec,
-                    }
+                    },
+                    {
+                        "metric": "triphone LVCSR decode audio-sec/s/chip "
+                                  "(tied-triphone HCLG, degree-split + select "
+                                  "kernel, accuracy-safe kcap=512)",
+                        "unit": "audio-sec/s/chip",
+                        **tri,
+                    },
                 ],
             }
         )

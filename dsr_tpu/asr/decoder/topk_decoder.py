@@ -86,8 +86,18 @@ def _split_mm(oh, table, eq):
     scores); HIGHEST costs 6 passes.  2^-17 puts ~1e-3 absolute noise on
     |loglik| ~ 1e2 values — two orders below the beam/LM scale, and the
     golden-parity decode gates (score tolerance 1e-2, identical word
-    output) pass with it."""
-    th = table.astype(jnp.bfloat16)
+    output) pass with it.
+
+    The optimization_barrier on `th` is LOAD-BEARING (round 4): XLA's
+    excess-precision simplification folds f32(bf16(t)) -> t, which turns
+    the residual `tl` into bf16(t - t) = 0 and silently degrades the
+    whole lookup to single-bf16 (measured on-chip: error 2^-9·|table|,
+    e.g. overflow-group ids off by up to 128 — the split decoder decoded
+    garbage at triphone scale).  Barriers after `tl` or between the two
+    matmuls do NOT help; the fold happens in tl's producer chain.
+    tests/test_pallas.py::test_split_mm_exact_for_ids guards this
+    on-chip."""
+    th = jax.lax.optimization_barrier(table.astype(jnp.bfloat16))
     tl = (table - th.astype(jnp.float32)).astype(jnp.bfloat16)
     ohb = oh.astype(jnp.bfloat16)
     return (jnp.einsum(eq, ohb, th, preferred_element_type=jnp.float32)
@@ -173,17 +183,26 @@ def _make_step(pdf, olabel, weight, dst, *, num_states, a_max, kcap, beam,
         arc_ids = (states[:, None] * a_max
                    + jax.lax.broadcasted_iota(jnp.int32, (kcap, a_max), 1)).reshape(-1)
         if use_pallas:
-            new_scores, new_dst, new_arc, spill = _sel.recombine_topk(
+            sscores, sdst, sarc, spill = _sel.recombine_topk(
                 flat, fdst, arc_ids, jnp.float32(beam), kcap=kcap,
-                q=select_q)
+                q=select_q, nlat=nlat)
+            if nlat:
+                # lattice mode: (kcap, nlat) planes, column 0 = winner
+                new_scores, new_dst, new_arc = (
+                    sscores[:, 0], sdst[:, 0], sarc[:, 0])
+            else:
+                new_scores, new_dst, new_arc = sscores, sdst, sarc
             alive = new_scores > NEG / 2
             new_states = jnp.where(alive, new_dst, 0)
             keep = t < length
             states_out = jnp.where(keep, new_states, states)
             scores_out = jnp.where(keep, new_scores, scores)
             bp_arc = jnp.where(keep & alive, new_arc, -1)
-            out = (states_out, bp_arc, scores_out, spill & keep)
-            return (states_out, scores_out), out
+            out = (states_out, bp_arc, scores_out)
+            if nlat:
+                out = out + (jnp.where(keep, sarc, -1),
+                             jnp.where(keep, sscores, NEG))
+            return (states_out, scores_out), out + (spill & keep,)
         # token recombination WITHOUT a scatter: lexicographic sort by
         # (dst, -score, arc): the first candidate of each dst run is its
         # max.  The arc id is a SORT KEY (num_keys=3), not a stable

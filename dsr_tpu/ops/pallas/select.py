@@ -157,12 +157,36 @@ def _less_dst(a, b):
     return (da < db) | ((da == db) & ((va > vb) | ((va == vb) & (aa < ab))))
 
 
+def _less_score_desc_payload(a, b):
+    """1-best final order (score desc, dst asc, arc asc) with extra
+    payload planes riding along (lattice-mode alternates)."""
+    return _less_score_desc(a[:3], b[:3])
+
+
 def _flat_prev(x):
     """x at flat index f-1 (row-major); block starts masked by caller."""
     lr = _roll(x, 1, 1)
     lrs = _roll(lr, 1, 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(ci == 0, lrs, lr)
+
+
+def _flat_next(planes, d, qr, fills):
+    """Each element takes the plane values at block-local flat index f+d
+    (row-major within qr-row blocks, 0 < d < 128: a lane roll with a row
+    carry, the forward analogue of _flat_prev); the last d elements of
+    each block take `fill` instead."""
+    shp = planes[0].shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    fi = (ri & (qr - 1)) * LANES + ci
+    nrows = shp[0]
+    out = []
+    for x, fill in zip(planes, fills):
+        lr = _roll(x, LANES - d, 1)
+        v = jnp.where(ci < LANES - d, lr, _roll(lr, nrows - 1, 0))
+        out.append(jnp.where(fi < qr * LANES - d, v, fill))
+    return tuple(out)
 
 
 def _blocks(x, rblk, nblk, lo, hi):
@@ -195,7 +219,7 @@ def _block_max(x, qrows):
 
 
 def _select_kernel(val_ref, dst_ref, arc_ref, beam_ref, vo_ref, do_ref,
-                   ao_ref, excl_ref, *, nblk, rblk, q, kcap):
+                   ao_ref, excl_ref, *, nblk, rblk, q, kcap, nlat=0):
     """nblk utterance blocks of rblk rows.  Blocks wider than 128 rows
     presort in 128-row SUB-blocks (each contributing a per-lane top-q),
     so the pool grows with the candidate count instead of the presort
@@ -239,15 +263,52 @@ def _select_kernel(val_ref, dst_ref, arc_ref, beam_ref, vo_ref, do_ref,
     ri = jax.lax.broadcasted_iota(jnp.int32, pv.shape, 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, pv.shape, 1)
     first = (((ri & (qr - 1)) == 0) & (ci == 0)) | (prev_d != pd)
-    pv = jnp.where(first, pv, NEG)
-    # S5: final top-kcap = one more flat sort by score
-    pv, pd, pa = _bitonic_flat((pv, pd, pa), _less_score_desc, qr)
+    if nlat == 0:
+        pv = jnp.where(first, pv, NEG)
+        # S5: final top-kcap = one more flat sort by score
+        pv, pd, pa = _bitonic_flat((pv, pd, pa), _less_score_desc, qr)
+        rows_out = kcap // LANES
+        vo = _blocks(pv, qr, nblk, 0, rows_out)
+        alive = vo > NEG / 2
+        vo_ref[...] = vo
+        do_ref[...] = jnp.where(alive, _blocks(pd, qr, nblk, 0, rows_out), 0)
+        ao_ref[...] = jnp.where(alive, _blocks(pa, qr, nblk, 0, rows_out), -1)
+        return
+    # ---- lattice mode (nlat > 0) ---------------------------------------
+    # S4': a run's rank-j member sits at flat position start+j in the
+    # dst-sorted pool, so each run start gathers its top-(nlat-1)
+    # alternates as ALIGNED payload planes via j-step flat shifts; S5'
+    # is then exactly the 1-best final sort with the payloads riding
+    # along — every output winner carries its own alternates, so short
+    # runs cannot misalign the (kcap, nlat) layout.
+    alt_v, alt_a = [], []
+    for j in range(1, nlat):
+        vj, dj, aj = _flat_next((pv, pd, pa), j, qr, (NEG, -1, -1))
+        ok = (dj == pd) & (vj > NEG / 2)   # same run, in-beam, not padding
+        alt_v.append(jnp.where(ok, vj, NEG))
+        alt_a.append(jnp.where(ok, aj, -1))
+    wv = jnp.where(first, pv, NEG)
+    planes = _bitonic_flat((wv, pd, pa) + tuple(alt_v) + tuple(alt_a),
+                           _less_score_desc_payload, qr)
+    wv, pd, pa = planes[:3]
+    alt_v = planes[3:3 + nlat - 1]
+    alt_a = planes[3 + nlat - 1:]
     rows_out = kcap // LANES
-    vo = _blocks(pv, qr, nblk, 0, rows_out)
+    vo = _blocks(wv, qr, nblk, 0, rows_out)
     alive = vo > NEG / 2
-    vo_ref[...] = vo
-    do_ref[...] = jnp.where(alive, _blocks(pd, qr, nblk, 0, rows_out), 0)
-    ao_ref[...] = jnp.where(alive, _blocks(pa, qr, nblk, 0, rows_out), -1)
+    # outputs are (nlat, U·kcap/128, 128) stacked along rows: column j of
+    # the (kcap, nlat) alt layout; j=0 is the winner itself
+    vs = [vo]
+    das = [jnp.where(alive, _blocks(pa, qr, nblk, 0, rows_out), -1)]
+    for j in range(nlat - 1):
+        av = _blocks(alt_v[j], qr, nblk, 0, rows_out)
+        aa_ = _blocks(alt_a[j], qr, nblk, 0, rows_out)
+        vs.append(jnp.where(alive, av, NEG))
+        das.append(jnp.where(alive & (av > NEG / 2), aa_, -1))
+    dw = jnp.where(alive, _blocks(pd, qr, nblk, 0, rows_out), 0)
+    vo_ref[...] = jnp.concatenate(vs, axis=0) if nlat > 1 else vs[0]
+    ao_ref[...] = jnp.concatenate(das, axis=0) if nlat > 1 else das[0]
+    do_ref[...] = jnp.concatenate([dw] * nlat, axis=0) if nlat > 1 else dw
 
 
 _ROW_BUDGET = 1024   # U·R rows per kernel call: ·128·4B·3 planes + the
@@ -265,11 +326,13 @@ def _shape_plan(n, q):
     return R, qr
 
 
-def _impl(cand, fdst, arcs, beam, kcap, q):
+def _impl(cand, fdst, arcs, beam, kcap, q, nlat=0):
     """cand/fdst/arcs: (U, N); beam scalar or (U,).  Returns (U,kcap)
-    planes + (U,) spill."""
+    planes + (U,) spill; lattice mode (nlat>0) returns (U,kcap,nlat)
+    planes instead (column 0 = the winner)."""
     if q < 1 or (q & (q - 1)):
         raise ValueError(f"q must be a power of two, got {q}")
+    nl = max(nlat, 1)
     U, n = cand.shape
     R, qr = _shape_plan(n, q)
     if kcap % LANES or kcap > qr * LANES:
@@ -281,7 +344,7 @@ def _impl(cand, fdst, arcs, beam, kcap, q):
     u_max = max(1, _ROW_BUDGET // R)
     if U > u_max:
         outs = [_impl(cand[i:i + u_max], fdst[i:i + u_max],
-                      arcs[i:i + u_max], beam[i:i + u_max], kcap, q)
+                      arcs[i:i + u_max], beam[i:i + u_max], kcap, q, nlat)
                 for i in range(0, U, u_max)]
         return tuple(jnp.concatenate(parts, axis=0)
                      for parts in zip(*outs))
@@ -294,32 +357,51 @@ def _impl(cand, fdst, arcs, beam, kcap, q):
     val = prep(cand, NEG)
     dst = prep(fdst, 0)
     arc = prep(arcs, -1)
-    rows_out = kcap // LANES
+    beamp = jnp.broadcast_to(beam[:, None], (U, LANES))
+    rows_out = kcap * nl // LANES
+    # under shard_map (the graph-sharded decoder) outputs must declare how
+    # they vary across mesh axes: the union of the input vmas
+    try:
+        vma = frozenset().union(
+            *(jax.typeof(x).vma for x in (val, dst, arc, beamp)))
+        sds = lambda shp, dt: jax.ShapeDtypeStruct(shp, dt, vma=vma)
+    except (AttributeError, TypeError):
+        sds = jax.ShapeDtypeStruct
     vv, dd, aa, excl = pl.pallas_call(
-        functools.partial(_select_kernel, nblk=U, rblk=R, q=q, kcap=kcap),
+        functools.partial(_select_kernel, nblk=U, rblk=R, q=q, kcap=kcap,
+                          nlat=nlat),
         out_shape=[
-            jax.ShapeDtypeStruct((U * rows_out, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((U * rows_out, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((U * rows_out, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((U, LANES), jnp.float32),
+            sds((U * rows_out, LANES), jnp.float32),
+            sds((U * rows_out, LANES), jnp.int32),
+            sds((U * rows_out, LANES), jnp.int32),
+            sds((U, LANES), jnp.float32),
         ],
         interpret=use_interpret(),
-    )(val, dst, arc, jnp.broadcast_to(beam[:, None], (U, LANES)))
+    )(val, dst, arc, beamp)
+    exm = jnp.max(excl, axis=1)
+    if nlat:
+        # output blocks are stacked by alt column j (j=0 = the winner)
+        unpack = lambda x: jnp.moveaxis(x.reshape(nlat, U, kcap), 0, -1)
+        # lattice certificate is CONSERVATIVE: any in-beam presort
+        # exclusion could have been some emitted run's missing alternate,
+        # so exactness is only certified when nothing in-beam was
+        # excluded anywhere (module docstring)
+        spill = exm > NEG / 2
+        return unpack(vv), unpack(dd), unpack(aa), spill
     scores = vv.reshape(U, kcap)
     alive = scores > NEG / 2
     minsel = jnp.min(jnp.where(alive, scores, jnp.inf), axis=1)
-    exm = jnp.max(excl, axis=1)
     nalive = jnp.sum(alive, axis=1)
     spill = (exm >= minsel) | ((nalive < kcap) & (exm > NEG / 2))
     return scores, dd.reshape(U, kcap), aa.reshape(U, kcap), spill
 
 
 @functools.lru_cache(maxsize=None)
-def _make_topk(kcap, q):
+def _make_topk(kcap, q, nlat):
     @jax.custom_batching.custom_vmap
     def topk1(cand, fdst, arcs, beam):
         s, d, a, sp = _impl(cand[None], fdst[None], arcs[None], beam,
-                            kcap, q)
+                            kcap, q, nlat)
         return s[0], d[0], a[0], sp[0]
 
     @topk1.def_vmap
@@ -331,13 +413,13 @@ def _make_topk(kcap, q):
         # the kernel's (U, 128) beam plane (it was previously collapsed to
         # utterance 0's value — review round 4)
         out = _impl(bc(cand, cb), bc(fdst, fb), bc(arcs, ab),
-                    bc(beam, bb), kcap, q)
+                    bc(beam, bb), kcap, q, nlat)
         return out, (True, True, True, True)
 
     return topk1
 
 
-def recombine_topk(cand, fdst, arcs, beam, *, kcap, q=16):
+def recombine_topk(cand, fdst, arcs, beam, *, kcap, q=16, nlat=0):
     """Token recombination + beam + top-kcap on the TPU vector core.
 
     cand/fdst/arcs: flat (N,) candidate scores / destination states / arc
@@ -345,18 +427,29 @@ def recombine_topk(cand, fdst, arcs, beam, *, kcap, q=16):
     kernel; `beam` may be vmapped too for per-utterance beams).  Returns
     (scores (kcap,), dst (kcap,) i32, arc (kcap,) i32, spill ());
     spill=False certifies exact equality with the sort-based reference
-    path (module docstring)."""
-    return _make_topk(kcap, q)(cand, fdst, arcs,
-                               jnp.asarray(beam, jnp.float32))
+    path (module docstring).
+
+    nlat>0 (lattice mode): scores/dst/arc come back (kcap, nlat) — each
+    winner's top-nlat incoming arcs by score, column 0 the winner itself,
+    dead slots NEG/-1 — matching topk_decoder's XLA alt layout; spill is
+    the conservative in-beam-exclusion certificate."""
+    return _make_topk(kcap, q, nlat)(cand, fdst, arcs,
+                                     jnp.asarray(beam, jnp.float32))
 
 
 def supported(n_candidates: int, kcap: int, nlat: int, q: int = 16) -> bool:
     """Gate for the decoder's auto dispatch: the kernel covers the 1-best
-    path up to VMEM-sized pools (R ≤ 2048 rows ≈ 262k candidates — the
-    former 16384 gate fell to the sub-block presort, so kcap=512 on the
-    wide-fan-out triphone HCLG runs on-chip); lattice (nlat>0) and tiny
-    configs stay on the XLA sort path."""
-    if nlat != 0 or kcap % LANES or kcap < LANES or n_candidates < 4 * LANES:
+    AND lattice (nlat a small power of two) paths up to VMEM-sized pools
+    (R ≤ 2048 rows ≈ 262k candidates — the former 16384 gate fell to the
+    sub-block presort, so kcap=512 on the wide-fan-out triphone HCLG runs
+    on-chip); tiny configs stay on the XLA sort path."""
+    if (nlat not in (0, 2, 4, 8) or kcap % LANES or kcap < LANES
+            or n_candidates < 4 * LANES):
         return False
     R, qr = _shape_plan(n_candidates, q)
-    return R <= 2048 and kcap <= qr * LANES
+    # interpret mode (CPU test suites) simulates every roll stage in
+    # numpy: auto-dispatch keeps big-pool shapes on the XLA sorts there
+    # (they are covered directly by tests/test_pallas_select.py and the
+    # on-chip parity runner) so decode-level tests stay tractable
+    r_cap = 128 if use_interpret() else 2048
+    return R <= r_cap and kcap <= qr * LANES

@@ -54,19 +54,46 @@ def pad_token_graph_states(g: TokenGraph, shards: int) -> TokenGraph:
 
 
 def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
-                        beam: float = 1e9, return_tokens: bool = False):
+                        beam: float = 1e9, return_tokens: bool = False,
+                        select_mode: str = "auto"):
     """Build a jitted sharded decode fn: (loglik (U, T, Pdf), lengths (U,))
-    → (olabels (U, T), scores (U,)) [+ token arrays if `return_tokens`].
+    → (olabels (U, T), scores (U,), spill_frames (U,)) [+ token arrays if
+    `return_tokens`].
 
     Arc tables are sharded over `model` by state range; loglik/lengths over
     `data`; the per-frame merge is an all_gather of per-shard top-K
     candidate sets (see module docstring).
+
+    select_mode="auto" runs each shard's local recombine/top-K through the
+    Pallas select kernel (ops/pallas/select.py) at supported shapes — the
+    per-shard pool is exactly the kernel's shape, and olabels leave the
+    frame loop entirely (resolved at traceback by owner lookup + pmax,
+    which also drops one plane from the per-frame all_gather).  spill_frames
+    counts frames whose local selection may differ from the exact sorts
+    (0 certifies sharded == single just like the single-chip path);
+    "xla" forces the round-2 sort path.
     """
     n_model = mesh.shape["model"]
     kcap = min(kcap, graph.num_states)
     g = pad_token_graph_states(graph, n_model)
     S, A = g.num_states, g.a_max
     S_shard = S // n_model
+    from dsr_tpu.ops.pallas import select as _sel
+    from dsr_tpu.ops.pallas import use_interpret
+    # interpret-mode Pallas inside shard_map compiles pathologically
+    # (>20 min for a 2-frame scan on the 8-device CPU sim — the kernel
+    # jaxpr is re-evaluated per device under the shard_map tracer), so
+    # the kernel path engages on the real chip only; CPU suites cover it
+    # via tests/test_parallel.py's chip-gated strict test through
+    # tools/run_pallas_on_tpu.py
+    use_kernel = (select_mode != "xla" and not use_interpret()
+                  and _sel.supported(kcap * A, kcap, 0))
+    if select_mode == "pallas" and not use_kernel:
+        raise ValueError(
+            f"select_mode='pallas' but the select kernel does not cover "
+            f"this shape (candidates={kcap * A}, kcap={kcap}) or the "
+            "backend is interpret-mode (sharded kernel decode needs the "
+            "real chip)")
 
     def decode_shard(pdf, ola, wgt, dst, fin, loglik, lengths):
         # pdf/ola/wgt/dst: (S_shard, A); fin: (S_shard,); loglik: (U_sh, T, P)
@@ -80,6 +107,18 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
             mine = (local >= 0) & (local < S_shard)
             f = jnp.where(mine, fin[jnp.clip(local, 0, S_shard - 1)], NEG)
             return jax.lax.pmax(f, "model")
+
+        def olab_of(arc):
+            """Output label of a GLOBAL arc id across shards: the owner of
+            the arc's source state supplies it, pmax merges (labels are
+            non-negative; -1 arcs and non-owners yield -1 → max 0)."""
+            row = arc // A - offset
+            mine = (arc >= 0) & (row >= 0) & (row < S_shard)
+            o = jnp.where(
+                mine,
+                ola[jnp.clip(row, 0, S_shard - 1),
+                    jnp.clip(arc % A, 0, A - 1)], -1)
+            return jnp.maximum(jax.lax.pmax(o, "model"), 0)
 
         def one_utt(ll, length):
             T = ll.shape[0]
@@ -116,25 +155,33 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
                 cand = scores[:, None] + w + llv
                 flat = cand.reshape(-1)
                 fdst = dst[li].reshape(-1)
-                folab = ola[li].reshape(-1)
                 arc_ids = (states[:, None] * A
                            + jax.lax.broadcasted_iota(jnp.int32, (kcap, A), 1)
                            ).reshape(-1)
-                # ---- local sort-recombine → my top-Kcap ------------------
-                sd, sneg, sa, so = jax.lax.sort(
-                    (fdst, -flat, arc_ids, folab), num_keys=3
-                )
-                first = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
-                val = jnp.where(first, -sneg, NEG)
-                loc_v, idx = jax.lax.top_k(val, kcap)
-                loc_d, loc_a, loc_o = sd[idx], sa[idx], so[idx]
+                # ---- local recombine → my top-Kcap -----------------------
+                # The kernel pre-prunes against the LOCAL frame max with
+                # the same beam — safe: local max <= global max, so the
+                # local threshold is never tighter than the merge's global
+                # beam prune (and it keeps the spill certificate tight).
+                if use_kernel:
+                    loc_v, loc_d, loc_a, spill = _sel.recombine_topk(
+                        flat, fdst, arc_ids, jnp.float32(beam), kcap=kcap)
+                else:
+                    sd, sneg, sa = jax.lax.sort(
+                        (fdst, -flat, arc_ids), num_keys=3
+                    )
+                    first = jnp.concatenate([jnp.ones((1,), bool),
+                                             sd[1:] != sd[:-1]])
+                    val = jnp.where(first, -sneg, NEG)
+                    loc_v, idx = jax.lax.top_k(val, kcap)
+                    loc_d, loc_a = sd[idx], sa[idx]
+                    spill = jnp.zeros((), bool)
                 # ---- exchange: all_gather candidate sets over ICI --------
                 gv = jax.lax.all_gather(loc_v, "model", tiled=True)
                 gd = jax.lax.all_gather(loc_d, "model", tiled=True)
                 ga = jax.lax.all_gather(loc_a, "model", tiled=True)
-                go = jax.lax.all_gather(loc_o, "model", tiled=True)
                 # ---- replicated merge: recombine across shards -----------
-                md, mneg, ma, mo = jax.lax.sort((gd, -gv, ga, go), num_keys=3)
+                md, mneg, ma = jax.lax.sort((gd, -gv, ga), num_keys=3)
                 firstm = jnp.concatenate([jnp.ones((1,), bool), md[1:] != md[:-1]])
                 mval = jnp.where(firstm, -mneg, NEG)
                 mx = jnp.max(mval)
@@ -146,11 +193,14 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
                 states_o = jnp.where(keep, new_states, states)
                 scores_o = jnp.where(keep, new_scores, scores)
                 bp_arc = jnp.where(keep & alive, ma[midx], -1)
-                bp_olab = jnp.where(keep & alive, mo[midx], 0)
-                return (states_o, scores_o), (states_o, bp_arc, bp_olab, scores_o)
+                # any shard's local spill voids the frame certificate
+                spill_any = jax.lax.pmax(
+                    (spill & keep).astype(jnp.int32), "model") > 0
+                return (states_o, scores_o), (states_o, bp_arc, scores_o,
+                                              spill_any)
 
             ts = jnp.arange(T)
-            (sf, scf), (tok_states, tok_arcs, tok_olabs, tok_scores) = jax.lax.scan(
+            (sf, scf), (tok_states, tok_arcs, tok_scores, spills) = jax.lax.scan(
                 step, (states0, scores0), (ts, ll)
             )
             total = scf + fin_of(sf)
@@ -162,37 +212,43 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
             best_score = total[slot]
 
             def back(state, inp):
-                t, sts, arcs, olbs = inp
+                t, sts, arcs = inp
                 k = jnp.argmax(sts == state)
                 arc = arcs[k]
                 valid = (t < length) & (arc >= 0)
                 # flat arc id = src*A + slot → src = arc // A (no table)
                 prev = jnp.where(valid, jnp.maximum(arc, 0) // A, state)
-                olab = jnp.where(valid, olbs[k], 0)
+                olab = jnp.where(valid, olab_of(arc), 0)
                 return prev, olab
 
             _, olabs = jax.lax.scan(
-                back, best_state, (ts, tok_states, tok_arcs, tok_olabs),
+                back, best_state, (ts, tok_states, tok_arcs),
                 reverse=True,
             )
             # identical on every model shard already (merge is replicated);
             # the pmax marks them replicated for out_specs inference
             rep = lambda x: jax.lax.pmax(x, "model")
-            out = (rep(olabs), rep(best_score))
+            out = (rep(olabs), rep(best_score),
+                   rep(jnp.sum(spills.astype(jnp.int32))))
             if return_tokens:
-                out += (rep(tok_states), rep(tok_arcs), rep(tok_olabs),
-                        rep(tok_scores))
+                out += (rep(tok_states), rep(tok_arcs), rep(tok_scores))
             return out
 
         return jax.vmap(one_utt)(loglik, lengths)
 
-    nouts = 6 if return_tokens else 2
+    nouts = 6 if return_tokens else 3
+    # check_vma=False: interpret-mode Pallas (the CPU suites) evaluates
+    # the select kernel's jaxpr under the vma checker, where every
+    # kernel-internal constant is replicated-typed against varying inputs;
+    # replication of the outputs is established by the explicit pmax/
+    # all_gather structure instead (docstring)
     fn = shard_map(
         decode_shard,
         mesh=mesh,
         in_specs=(P("model"), P("model"), P("model"), P("model"), P("model"),
                   P("data"), P("data")),
         out_specs=tuple(P("data") for _ in range(nouts)),
+        check_vma=False,
     )
 
     @jax.jit

@@ -107,3 +107,42 @@ def test_node_posteriors_sum_per_frame_random_graph():
     for ref in ([1], [2, 1], [1, 2, 1], []):
         s, d, i, _ = edit_distance(ref, hyp)
         assert lat.oracle_errors(ref) <= s + d + i
+
+
+def _random_lowdeg_graph(S=150, A=6, P=12, seed=3):
+    rng = np.random.default_rng(seed)
+    src = np.repeat(np.arange(S, dtype=np.int32), A)
+    dst = rng.integers(0, S, S * A).astype(np.int32)
+    pdf = rng.integers(0, P, S * A).astype(np.int32)
+    ola = rng.integers(0, 5, S * A).astype(np.int32)
+    w = np.abs(rng.standard_normal(S * A)).astype(np.float32)
+    fin = np.full(S, np.inf, np.float32)
+    fin[rng.integers(0, S, 10)] = 0.0
+    return PackedGraph(src, pdf, ola, w, dst, 0, fin, S), P
+
+
+@pytest.mark.parametrize("beam", [1e9, 8.0])
+def test_lattice_decode_kernel_matches_xla(beam):
+    """Round-4 lattice-mode select: decode_with_tokens(nlat=4) through the
+    Pallas kernel (strict mode) must equal the XLA sort path bit-for-bit —
+    the low out-degree keeps every lane under q candidates, so the
+    conservative certificate holds (spill all-False)."""
+    g, P = _random_lowdeg_graph()
+    tg = tk.build_token_graph(g)
+    ll = np.random.default_rng(5).standard_normal((30, P)).astype(np.float32) * 3
+    kw = dict(kcap=128, beam=beam, nlat=4, return_spill=True)
+    out_k = tk.decode_with_tokens(tg, jnp.asarray(ll), select_mode="pallas", **kw)
+    out_x = tk.decode_with_tokens(tg, jnp.asarray(ll), select_mode="xla", **kw)
+    assert not bool(np.asarray(out_k[-1]).any()), "unexpected spill"
+    assert np.array_equal(np.asarray(out_k[0]), np.asarray(out_x[0]))  # olabs
+    assert abs(float(out_k[1]) - float(out_x[1])) < 1e-5
+    # alt arrays: identical arcs and scores (dead slots -1 / NEG on both)
+    assert np.array_equal(np.asarray(out_k[5]), np.asarray(out_x[5]))
+    ks, xs = np.asarray(out_k[6]), np.asarray(out_x[6])
+    assert np.allclose(np.where(ks < -1e29, 0, ks), np.where(xs < -1e29, 0, xs),
+                       atol=1e-5)
+    assert (ks < -1e29).sum() == (xs < -1e29).sum()
+    # and the lattice built from the kernel path behaves identically
+    lat = jlat.from_topk(out_k[2], out_k[3], out_k[4], tg, out_k[5], out_k[6])
+    lat_x = jlat.from_topk(out_x[2], out_x[3], out_x[4], tg, out_x[5], out_x[6])
+    assert lat.one_best()[0] == lat_x.one_best()[0]

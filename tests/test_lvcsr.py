@@ -82,7 +82,7 @@ def test_lvcsr_sharded_decode_matches_single(task):
     rng = np.random.default_rng(7)
     lls = rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32) * 2
     lens = np.asarray([T, T - 13], np.int32)
-    olabs_sh, scores_sh = run(lls, lens)
+    olabs_sh, scores_sh, spills_sh = run(lls, lens)
     for i in range(U):
         ol1, sc1 = tk.decode(tg, lls[i], kcap=kcap, beam=beam, length=int(lens[i]))
         assert abs(float(scores_sh[i]) - float(sc1)) < 1e-2
@@ -102,7 +102,7 @@ def test_lvcsr_sharded_beam_pruned_matches_single(task):
     rng = np.random.default_rng(11)
     lls = rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32) * 2
     lens = np.asarray([T, T], np.int32)
-    olabs_sh, scores_sh = run(lls, lens)
+    olabs_sh, scores_sh, spills_sh = run(lls, lens)
     for i in range(U):
         ol1, sc1 = tk.decode(tg, lls[i], kcap=kcap, beam=beam)
         assert abs(float(scores_sh[i]) - float(sc1)) < 1e-2

@@ -220,3 +220,23 @@ def test_gsc_kernel_batched_matches_scan():
     ref = np.stack(refs)
     assert Y_pal.shape == ref.shape
     assert np.max(np.abs(Y_pal - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_split_mm_exact_for_ids():
+    """The 2-pass bf16 one-hot lookup must be EXACT for integer table
+    values up to 2^17 — on the chip, XLA's excess-precision fold turns
+    the residual pass into zero unless the hi half is barriered
+    (topk_decoder._split_mm docstring; round-4 split-decoder bug)."""
+    import jax
+    import jax.numpy as jnp
+    from dsr_tpu.asr.decoder.topk_decoder import _split_mm
+
+    rng = np.random.default_rng(0)
+    K, C = 256, 4
+    tab = rng.integers(0, 1 << 17, (K, C)).astype(np.float32)
+    te = rng.integers(0, K, 512).astype(np.int32)
+    oh = (te[:, None] == np.arange(K)[None, :]).astype(np.float32)
+    out = np.asarray(jax.jit(
+        lambda o, t: _split_mm(o, t, "ek,kc->ec"))(jnp.asarray(oh),
+                                                   jnp.asarray(tab)))
+    assert float(np.max(np.abs(out - tab[te]))) == 0.0

@@ -125,6 +125,105 @@ def test_spill_flags_adversarial_lane_sub_block():
     assert bool(spill)
 
 
+def ref_select_lat(cand, fdst, arcs, beam, kcap, nlat):
+    """The XLA lattice path: winners as ref_select, plus each winner's
+    top-nlat in-beam run members (column 0 = the winner itself)."""
+    n = len(cand)
+    order = np.lexsort((arcs, -cand, fdst))
+    sd, sv, sa = fdst[order], cand[order], arcs[order]
+    first = np.r_[True, sd[1:] != sd[:-1]]
+    val = np.where(first, sv, NEG)
+    mx = val.max()
+    val = np.where(val > mx - beam, val, NEG)
+    top = np.argsort(-val, kind="stable")[:kcap]
+    alt_a = np.full((kcap, nlat), -1, np.int64)
+    alt_s = np.full((kcap, nlat), NEG, np.float64)
+    for k in range(kcap):
+        if val[top[k]] <= NEG / 2:
+            continue
+        i = top[k]
+        for j in range(nlat):
+            p = i + j
+            if p >= n or sd[p] != sd[i]:
+                break
+            if sv[p] > mx - beam:
+                alt_a[k, j] = sa[p]
+                alt_s[k, j] = sv[p]
+    return val[top], sd[top], alt_a, alt_s
+
+
+def lat_by_dst(dst, w, alt_a, alt_s):
+    """winner dst → ordered valid (score, arc) run members."""
+    out = {}
+    for k in range(len(dst)):
+        if w[k] <= NEG / 2:
+            continue
+        mem = [(round(float(alt_s[k, j]), 4), int(alt_a[k, j]))
+               for j in range(alt_s.shape[1]) if alt_a[k, j] >= 0]
+        out[int(dst[k])] = mem
+    return out
+
+
+@pytest.mark.parametrize("beam", [1e9, 3.0])
+def test_lattice_mode_matches_sort_path(beam):
+    """nlat>0: the kernel's (kcap, nlat) alt layout must equal the XLA
+    path's when the conservative certificate holds (q=64 > any lane's
+    candidate count → nothing is ever presort-excluded)."""
+    rng = np.random.default_rng(21)
+    n, kcap, nlat = 2048, 128, 4
+    cand = rng.standard_normal(n).astype(np.float32) * 4
+    fdst = rng.integers(0, 300, n).astype(np.int32)   # ~7 cands per dst
+    arcs = np.arange(n, dtype=np.int32)
+    ks, kd, ka, spill = select.recombine_topk(
+        jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+        jnp.float32(beam), kcap=kcap, q=64, nlat=nlat)
+    assert not bool(spill)
+    rw, rd, raa, ras = ref_select_lat(cand, fdst, arcs, beam, kcap, nlat)
+    got = lat_by_dst(np.asarray(kd)[:, 0], np.asarray(ks)[:, 0],
+                     np.asarray(ka), np.asarray(ks))
+    want = lat_by_dst(rd, rw, raa, ras)
+    assert got == want
+    # winner column == 1-best output of the same call shape
+    ks1, kd1, ka1, sp1 = select.recombine_topk(
+        jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+        jnp.float32(beam), kcap=kcap, q=64)
+    assert pairs(ks[:, 0], kd[:, 0], ka[:, 0]) == pairs(ks1, kd1, ka1)
+
+
+def test_lattice_mode_conservative_spill():
+    """Any in-beam presort exclusion must flag spill in lattice mode
+    (an excluded candidate could be some emitted run's alternate)."""
+    rng = np.random.default_rng(23)
+    n, kcap = 12032, 256
+    cand = rng.standard_normal(n).astype(np.float32)
+    fdst = rng.integers(0, 5000, n).astype(np.int32)
+    arcs = np.arange(n, dtype=np.int32)
+    _, _, _, spill = select.recombine_topk(
+        jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs),
+        jnp.float32(1e9), kcap=kcap, q=16, nlat=4)
+    assert bool(spill)   # 94 in-beam candidates per lane >> q=16
+
+
+def test_lattice_mode_batched():
+    import jax
+    rng = np.random.default_rng(29)
+    U, n, kcap, nlat = 3, 2048, 128, 2
+    cand = rng.standard_normal((U, n)).astype(np.float32) * 4
+    fdst = rng.integers(0, 300, (U, n)).astype(np.int32)
+    arcs = np.broadcast_to(np.arange(n, dtype=np.int32), (U, n)).copy()
+    ks, kd, ka, spill = jax.vmap(
+        lambda c, f, a: select.recombine_topk(
+            c, f, a, jnp.float32(1e9), kcap=kcap, q=64, nlat=nlat)
+    )(jnp.asarray(cand), jnp.asarray(fdst), jnp.asarray(arcs))
+    assert ks.shape == (U, kcap, nlat) and not bool(np.asarray(spill).any())
+    for u in range(U):
+        rw, rd, raa, ras = ref_select_lat(cand[u], fdst[u], arcs[u], 1e9,
+                                          kcap, nlat)
+        got = lat_by_dst(np.asarray(kd[u])[:, 0], np.asarray(ks[u])[:, 0],
+                         np.asarray(ka[u]), np.asarray(ks[u]))
+        assert got == lat_by_dst(rd, rw, raa, ras)
+
+
 def test_duplicate_heavy_recombination():
     """Many candidates per dst: recombination must keep exactly the max
     arc per destination (ties impossible: distinct scores)."""

@@ -1,0 +1,85 @@
+"""Streaming Conformer-CTC parity: chunked streaming with carried state
+must equal the offline chunk-causal pass (models/streaming_conformer.py;
+SURVEY.md §5 long-context — the CTC-path analogue of the WFST decoder's
+streaming==offline gate)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsr_tpu.models.streaming_conformer import (StreamingConformerCtc,
+                                                greedy_ctc_stream)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = StreamingConformerCtc(vocab=7, dim=32, layers=2, heads=2,
+                                  chunk=4, left=2, feat_dim=13)
+    rng = np.random.default_rng(0)
+    feats0 = jnp.asarray(rng.standard_normal((80, 13)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), feats0)
+    return model, params
+
+
+def test_streamed_equals_offline(model_and_params):
+    model, params = model_and_params
+    C = model.chunk
+    n_chunks = 6
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.standard_normal((4 * C * n_chunks, 13)),
+                        jnp.float32)
+    ref = model.apply(params, feats)                  # (C*n-1, V+1)
+    assert ref.shape[0] == C * n_chunks - 1
+
+    state = model.init_state()
+    got = []
+    step = jax.jit(lambda p, c, s: model.apply(p, c, s, method="step"))
+    for n in range(n_chunks):
+        chunk = feats[4 * C * n: 4 * C * (n + 1)]
+        logits, n_new, state = step(params, chunk, state)
+        got.append(np.asarray(logits)[: int(n_new)])
+    tail, n_tail = model.apply(params, state, method="finish")
+    got.append(np.asarray(tail)[: int(n_tail)])
+    got = np.concatenate(got, axis=0)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-4)
+    # the streamed greedy transcript equals the offline one
+    ids_off = []
+    prev = -1
+    for i in np.asarray(jnp.argmax(ref, axis=-1)):
+        if i != prev and i != 0:
+            ids_off.append(int(i))
+        prev = int(i)
+    chunks = np.split(got, np.cumsum([len(g) for g in [got]])[:-1]) if False \
+        else [got]
+    assert greedy_ctc_stream(chunks).tolist() == ids_off
+
+
+def test_streaming_state_is_chunk_local(model_and_params):
+    """Changing audio BEFORE the visible context window must not change
+    the current chunk's logits (left context is exactly `left` chunks +
+    the conv tail)."""
+    model, params = model_and_params
+    C = model.chunk
+    N = 16
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((4 * C * N, 13)).astype(np.float32)
+    feats2 = feats.copy()
+    feats2[: 4 * C] += 10.0          # perturb ONLY the first raw chunk
+    step = jax.jit(lambda p, c, s: model.apply(p, c, s, method="step"))
+
+    def last_logits(f):
+        state = model.init_state()
+        out = None
+        for n in range(N):
+            out, n_new, state = step(params, jnp.asarray(f[4*C*n:4*C*(n+1)]),
+                                     state)
+        return np.asarray(out)
+
+    # the last emitted chunk is #N-2 (frames 56-59); the receptive field
+    # per layer is left*C attention + (k-1) conv frames, so 2 layers
+    # reach 2*(8+14)=44 frames back — to frame 12, clear of the
+    # perturbed subsampled chunk 0 (frames 0-3)
+    np.testing.assert_allclose(last_logits(feats), last_logits(feats2),
+                               atol=1e-5)
