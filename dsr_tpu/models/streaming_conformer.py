@@ -113,6 +113,10 @@ class StreamingConformerCtc(nn.Module):
         self.sub1 = nn.Conv(d4, (3, 3), strides=(2, 2), padding="VALID")
         self.sub2 = nn.Conv(d4, (3, 3), strides=(2, 2), padding="VALID")
         self.sub_out = nn.Dense(self.dim)
+        # frame-local normalisation after the subsampler: real-scale MFCCs
+        # (|x| ~ 30) otherwise ride the residual stream unnormalised and
+        # the CTC backward explodes at init (measured inf grad norms)
+        self.sub_ln = nn.LayerNorm()
         self.ff1s = [_FeedForward(self.dim) for _ in range(self.layers)]
         self.atts = [_ChunkCausalAttention(self.dim, self.heads)
                      for _ in range(self.layers)]
@@ -135,7 +139,7 @@ class StreamingConformerCtc(nn.Module):
         h = nn.relu(self.sub1(h))
         h = nn.relu(self.sub2(h))
         h = h.reshape(h.shape[0], -1)
-        return self.sub_out(h)
+        return self.sub_ln(self.sub_out(h))
 
     def _block(self, i, x, kv_tail, conv_tail, q_pos, kv_pos, allow):
         """One block over chunk rows `x`; kv_tail (L, dim) is the cached

@@ -246,3 +246,86 @@ class StreamingRecognizer:
         )
         words = [int(w) for w in np.asarray(olabs) if w]
         return words, float(score)
+
+
+class StreamingCtcRecognizer:
+    """CTC-path streaming recognition (SURVEY.md §5; round-4 VERDICT item
+    6): multi-channel audio chunks → beamformed subbands → features →
+    chunk-causal StreamingConformerCtc steps → INCREMENTAL greedy words.
+
+    The carried state is the frontend's sample buffer + the conformer's
+    StreamState (raw tail, per-layer KV/conv tails) + the greedy
+    decoder's last-label; features buffer internally until a full
+    4·chunk-frame model step is available.  Emitted logits are exactly
+    the offline chunk-causal pass's rows, so the incremental transcript
+    equals `greedy_ctc_decode(model.apply(params, all_feats))` up to the
+    last flushed frame (tests/test_streaming_conformer.py gates this).
+
+    `finish()` flushes the model's one-chunk latency; feature frames
+    beyond the last complete model chunk (< 4·chunk of them) are
+    discarded, matching the offline pass's valid-frame count on
+    chunk-aligned input.
+    """
+
+    def __init__(self, pipe: DsrPipeline, model, params,
+                 source_pos: np.ndarray, cep_mean: np.ndarray | None = None,
+                 cep_scale: np.ndarray | None = None):
+        import jax
+
+        self.pipe = pipe
+        self.model = model
+        self.params = params
+        self.source_pos = np.asarray(source_pos)
+        self.cep_mean = None if cep_mean is None else np.asarray(cep_mean)
+        self.cep_scale = None if cep_scale is None else np.asarray(cep_scale)
+        self.state = model.init_state()
+        self._fbuf = np.zeros((0, model.feat_dim), np.float32)
+        self._step = jax.jit(
+            lambda p, c, s: model.apply(p, c, s, method="step"))
+        self._prev_label = -1
+        self.words: list[int] = []
+
+    def _feats(self, Y):
+        fe = self.pipe.frontend
+        f = jft.mfcc_from_subbands(
+            Y, self.pipe.fb.M, fe.sample_rate, num_mel=fe.num_mel,
+            num_cepstra=fe.num_cepstra, fmin=fe.fmin, fmax=fe.fmax,
+            vtln_warp=fe.vtln_warp,
+        )
+        f = np.asarray(f)
+        if self.cep_mean is not None:
+            f = f - self.cep_mean
+        if self.cep_scale is not None:
+            f = f / self.cep_scale
+        return f.astype(np.float32)
+
+    def _emit(self, logits, n_new):
+        ids = np.asarray(jnp.argmax(logits[:int(n_new)], axis=-1))
+        out = []
+        for i in ids:
+            if i != self._prev_label and i != 0:
+                out.append(int(i))
+            self._prev_label = int(i)
+        self.words.extend(out)
+        return out
+
+    def run(self, chunks):
+        """Consume an iterable of (N, block) audio chunks; yields the
+        incrementally emitted label ids per model step."""
+        C4 = 4 * self.model.chunk
+        for Y in self.pipe.process_streaming_subbands(chunks, self.source_pos):
+            self._fbuf = np.concatenate([self._fbuf, self._feats(Y)], axis=0)
+            while self._fbuf.shape[0] >= C4:
+                raw, self._fbuf = self._fbuf[:C4], self._fbuf[C4:]
+                logits, n_new, self.state = self._step(
+                    self.params, jnp.asarray(raw), self.state)
+                out = self._emit(logits, n_new)
+                if out:
+                    yield out
+
+    def finish(self):
+        """Flush the model's buffered chunk; returns the full label list."""
+        logits, n_new = self.model.apply(self.params, self.state,
+                                         method="finish")
+        self._emit(logits, n_new)
+        return self.words

@@ -41,8 +41,11 @@ def _eval_loss(model, params, ev):
 
 
 def _train(model, params0, tr, frozen, steps=STEPS):
-    # clip as in tools/exp_joint_ctc.py: MVDR-solve gradients can spike
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-3))
+    # NO gradient clip here: at this short horizon the clip throttles the
+    # front-end's learning and the ablation stops separating (clipping is
+    # needed only for the LONG from-scratch runs in tools/exp_joint_ctc.py,
+    # where unclipped training eventually NaNs through the MVDR solve)
+    tx = optax.adam(3e-3)
     step = mj.make_train_step(model, tx, frozen_frontend=frozen)
     p, o = params0, tx.init(params0)
     Xtr, lab, lens = tr

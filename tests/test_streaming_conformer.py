@@ -83,3 +83,62 @@ def test_streaming_state_is_chunk_local(model_and_params):
     # perturbed subsampled chunk 0 (frames 0-3)
     np.testing.assert_allclose(last_logits(feats), last_logits(feats2),
                                atol=1e-5)
+
+
+def test_streaming_ctc_recognizer_matches_offline():
+    """pipeline.StreamingCtcRecognizer: audio chunks → beamformed
+    subbands → features → streaming conformer steps; the incremental
+    transcript equals the offline chunk-causal greedy decode on the same
+    features (the CTC analogue of StreamingRecognizer's WFST gate)."""
+    from golden import room as groom
+    from dsr_tpu.config import (ArrayGeometry, BeamformerConfig,
+                                FilterbankConfig)
+    from dsr_tpu.ops import features as jft
+    from dsr_tpu.pipeline import DsrPipeline, StreamingCtcRecognizer
+
+    SR = 16000.0
+    rng = np.random.default_rng(7)
+    pos = np.array([0.5, 1.2, 0.0])
+    pipe = DsrPipeline(
+        fb=FilterbankConfig(M=64, m=4, r=2),
+        geometry=ArrayGeometry.linear(6, 0.04),
+        beamformer=BeamformerConfig(kind="mvdr"),
+    )
+    POS = np.asarray(pipe.geometry.positions)
+    x = rng.standard_normal(int(1.6 * SR))
+    xm = groom.simulate(x, POS, pos, SR, snr_db=20.0, rng=rng).astype(np.float32)
+
+    model = StreamingConformerCtc(vocab=9, dim=32, layers=2, heads=2,
+                                  chunk=4, left=2,
+                                  feat_dim=pipe.frontend.num_cepstra)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((160, pipe.frontend.num_cepstra)))
+
+    rec = StreamingCtcRecognizer(pipe, model, params, pos,
+                                 cep_mean=np.zeros(pipe.frontend.num_cepstra))
+    B = 4000
+    chunks = [xm[:, i: i + B] for i in range(0, xm.shape[-1], B)]
+    inc = []
+    for out in rec.run(iter(chunks)):
+        inc.extend(out)
+    words = rec.finish()
+    assert words[: len(inc)] == inc  # finish only appends to the stream
+
+    # offline reference on the SAME feature stream the recognizer
+    # consumed: offline beamformed subbands (process_streaming_subbands
+    # is frame-exact vs offline) through the recognizer's causal
+    # feature path (fixed cep mean, NOT utterance CMN)
+    from dsr_tpu.ops import filterbank as jfb
+    from dsr_tpu.ops import beamforming as jbf  # noqa: F401 (pipe internals)
+    A = jfb.analysis(jnp.asarray(xm), pipe.fb)
+    Y, _ = pipe.beamform_subbands(A, pos)
+    feats = rec._feats(Y)
+    C4 = 4 * model.chunk
+    n_full = (feats.shape[0] // C4) * C4
+    ref_logits = model.apply(params, jnp.asarray(feats[:n_full]))
+    prev, ref_ids = -1, []
+    for i in np.asarray(jnp.argmax(ref_logits, axis=-1)):
+        if i != prev and i != 0:
+            ref_ids.append(int(i))
+        prev = int(i)
+    assert words == ref_ids
