@@ -216,13 +216,14 @@ def bench_decode_tri(jax, jnp):
             float(jnp.sum(out[1]))
         return (time.perf_counter() - t0) / reps, out
 
+    a_max = int(np.bincount(task.graph.src, minlength=sg.num_states).max())
     dt512, out512 = run(512, 512)
     dt256, out256 = run(256, 512)
     return {
         "audio_sec_per_s": round(audio / dt512, 2),
         "rtf": round(dt512 / audio, 5),
         "graph": {"states": sg.num_states, "overflow_groups": sg.num_groups,
-                  "a_max": 263, "kcap": 512, "eg": 512},
+                  "a_max": a_max, "kcap": 512, "eg": 512},
         "path": "degree-split + Pallas select q=16",
         "kcap256_audio_sec_per_s": round(audio / dt256, 2),
         "overflow_frames": int(np.asarray(out512[3]).sum()),

@@ -63,21 +63,29 @@ class JointBeamformerCtc(nn.Module):
 
 
 def make_train_step(model: JointBeamformerCtc, tx, frozen_frontend=False):
-    """Jitted (params, opt_state, X, labels, label_lens) → (params,
-    opt_state, loss).  frozen_frontend=True zeroes the frontend update —
-    the ablation baselines (untrained mask / oracle front-end) train the
-    AM with the identical step."""
+    """Jitted (params, opt_state, X, labels, label_lens[, frame_lens]) →
+    (params, opt_state, loss).  frozen_frontend=True zeroes the frontend
+    update — the ablation baselines (untrained mask / oracle front-end)
+    train the AM with the identical step.
 
-    def loss_fn(params, X, labels, label_lens):
+    frame_lens (B,) gives each utterance's VALID subband-frame count in
+    X's T axis; CTC then masks the padded logit frames (the Conformer
+    subsamples 4×, so valid logits = ceil(frames/4)).  Omitted, every
+    frame counts — only correct for unpadded equal-length batches."""
+
+    def loss_fn(params, X, labels, label_lens, frame_lens):
         logits = model.apply(params, X)
         B, T = logits.shape[0], logits.shape[1]
-        llen = jnp.full((B,), T, jnp.int32)
+        if frame_lens is None:
+            llen = jnp.full((B,), T, jnp.int32)
+        else:
+            llen = jnp.minimum((frame_lens + 3) // 4, T).astype(jnp.int32)
         return ctc_loss(logits, llen, labels, label_lens)
 
     @jax.jit
-    def step(params, opt_state, X, labels, label_lens):
+    def step(params, opt_state, X, labels, label_lens, frame_lens=None):
         loss, grads = jax.value_and_grad(loss_fn)(params, X, labels,
-                                                  label_lens)
+                                                  label_lens, frame_lens)
         if frozen_frontend:
             grads = jax.tree_util.tree_map_with_path(
                 lambda path, g: (jnp.zeros_like(g)
