@@ -232,20 +232,9 @@ def build_task_tri(cfg: LvcsrConfig = LvcsrConfig(vocab_size=300,
     text = make_text(vocab, cfg.n_tokens, cfg.branching, rng)
     arpa = _lm.train_arpa_ngram(text, vocab, order=cfg.order)
     G = _lm.arpa_to_fst(arpa, words)
-    LG = build_lg_fst(lex, phones, words, G, sil_phone="sil")
-    nLG = _native.NativeFst.from_wfst(LG)
-    nLGd = nLG.determinize()
-    nLG.free()
-    C, tbl = triphone.build_context_fst(phones, 0)
-    nC = _native.NativeFst.from_wfst(C)
-    nCLG = nC.compose(nLGd)
-    nC.free(); nLGd.free()
-    nCLGr = nCLG.rmepsilon()
-    nCLG.free()
+    nCLGr, tbl, seen = triphone.build_clg_native(lex, phones, words, G)
     t1 = time.time()
 
-    _, il, _, _, _, _, _ = nCLGr.to_csr()
-    seen = sorted({int(x) for x in np.unique(il) if 1 <= x <= tbl.num_tri})
     stats: dict = {}
     n0 = 200.0
     for sym in seen:
@@ -256,22 +245,13 @@ def build_task_tri(cfg: LvcsrConfig = LvcsrConfig(vocab_size=300,
             stats[(ln, cn, rn, pos)] = [n0, n0 * m, n0 * (0.25 + m * m)]
     tree = ptree.build_tree(stats, questions=TRI_QUESTIONS, min_gain=50.0,
                             min_count=10.0, max_leaves=4000)
-    H = triphone.build_hmm_fst_tri(tbl, tree, phones, 0, spp, seen_tris=seen)
-    nH = _native.NativeFst.from_wfst(H)
-    nHCLG = nH.compose(nCLGr)
-    nH.free(); nCLGr.free()
-    nOut = nHCLG.rmepsilon()
-    nHCLG.free()
+    graph, gstats = triphone.finish_tri_hclg_native(nCLGr, tbl, tree, phones,
+                                                    spp, seen_tris=seen)
     bstats = {
-        "num_states": nOut.num_states, "num_arcs": nOut.num_arcs,
-        "max_outdeg": nOut.max_outdeg, "seen_triphones": len(seen),
-        "tied_pdfs": tree.num_leaves,
+        **gstats, "seen_triphones": len(seen),
         "build_fsts_s": round(t1 - t0, 2),
         "build_tri_s": round(time.time() - t1, 2),
     }
-    off, il, ol, w, nxt, start, fin = nOut.to_csr()
-    nOut.free()
-    graph = pack_csr(off, il, ol, w, nxt, start, fin)
     # analytic tied-state AM: leaf mean = count-weighted mean of its contexts
     D = _tri_feat_dim(phones, spp)
     P_leaves = tree.num_leaves

@@ -141,6 +141,57 @@ def compose_hclg_tri(L: Wfst, G: Wfst, phones: SymbolTable, tree: DistribTree,
     return HCLG
 
 
+def build_clg_native(lexicon, phones: SymbolTable, words: SymbolTable, G: Wfst,
+                     sil_phone: str = "sil"):
+    """CLG through the native core: LG (late word labels) → det → C∘ →
+    rmeps.  Returns (native CLG handle, TriphoneTable, seen triphone ids)
+    — the caller builds a DistribTree (analytic or data-driven) over
+    `seen`, then calls `finish_tri_hclg_native`.  Caller owns/frees the
+    returned handle (finish_tri_hclg_native frees it)."""
+    from dsr_tpu.asr.fsm import native as _native
+    from dsr_tpu.asr.fsm.hclg import build_lg_fst
+
+    if not _native.available():
+        raise RuntimeError("triphone HCLG build needs the native WFST core")
+    LG = build_lg_fst(lexicon, phones, words, G, sil_phone=sil_phone)
+    nLG = _native.NativeFst.from_wfst(LG)
+    nLGd = nLG.determinize()
+    nLG.free()
+    C, tbl = build_context_fst(phones, 0, sil_name=sil_phone)
+    nC = _native.NativeFst.from_wfst(C)
+    nCLG = nC.compose(nLGd)
+    nC.free(); nLGd.free()
+    nCLGr = nCLG.rmepsilon()
+    nCLG.free()
+    _, il, _, _, _, _, _ = nCLGr.to_csr()
+    seen = sorted({int(x) for x in np.unique(il) if 1 <= x <= tbl.num_tri})
+    return nCLGr, tbl, seen
+
+
+def finish_tri_hclg_native(nCLGr, tbl: TriphoneTable, tree: DistribTree,
+                           phones: SymbolTable, states_per_phone: int,
+                           seen_tris=None):
+    """H_tri(tree) ∘ CLG → rmeps → packed CSR.  Frees `nCLGr`.
+    Returns (PackedGraph, stats dict)."""
+    from dsr_tpu.asr.fsm import native as _native
+    from dsr_tpu.asr.fsm.packed import pack_csr
+
+    H = build_hmm_fst_tri(tbl, tree, phones, 0, states_per_phone,
+                          seen_tris=seen_tris)
+    nH = _native.NativeFst.from_wfst(H)
+    nHCLG = nH.compose(nCLGr)
+    nH.free(); nCLGr.free()
+    nOut = nHCLG.rmepsilon()
+    nHCLG.free()
+    stats = {
+        "num_states": nOut.num_states, "num_arcs": nOut.num_arcs,
+        "max_outdeg": nOut.max_outdeg, "tied_pdfs": tree.num_leaves,
+    }
+    off, il, ol, w, nxt, start, fin = nOut.to_csr()
+    nOut.free()
+    return pack_csr(off, il, ol, w, nxt, start, fin), stats
+
+
 def context_of_alignment(alignment_segments, phone_seq_len: int, states_per_phone: int):
     """Frame-level (phone_index_in_seq, hmm_pos) pairs from `path.Alignment`
     segments whose unit ids are monophone pdfs (phone-1)*spp + pos.
