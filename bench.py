@@ -102,6 +102,9 @@ def bench_beamform(jax, jnp):
     SR = 16000.0
     cfg = FilterbankConfig(M=256, m=4, r=2)
     N = 64
+    # cps (channels per grid step) override for the KERNELS.md round-5
+    # bisection of the r3->r4 -2%; 0 = the production auto choice
+    CPS = int(os.environ.get("BENCH_BF_CPS", "0"))
     CHAIN = 1000
     NBUF = 8
     TT = 1024
@@ -134,7 +137,8 @@ def bench_beamform(jax, jnp):
             # ~4e-6 rel err vs the f32 unfused path) + synthesis kernel
             # (in-kernel IDFT matmuls + roll OLA)
             Y = pfb.analysis_beamform_staged(
-                xp, i % NBUF, w, cfg, S, hfj, tile=TT, precision="bf16x3"
+                xp, i % NBUF, w, cfg, S, hfj, tile=TT, precision="bf16x3",
+                cps=CPS,
             )
             y = pfb.synthesis(Y, cfg, S, gf, delay, precision="bf16x3")
             return tot + jnp.sum(jnp.abs(y))

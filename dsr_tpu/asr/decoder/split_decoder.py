@@ -68,9 +68,15 @@ class SplitTokenGraph(NamedTuple):
     final_weight: jnp.ndarray
     num_states: int
     num_groups: int
+    a0: int = A0
 
 
-def build_split_graph(g: PackedGraph) -> SplitTokenGraph:
+def build_split_graph(g: PackedGraph, a0: int = A0) -> SplitTokenGraph:
+    """Pack two-tier with a MAIN width of `a0` (default 8).  Smaller a0
+    shrinks the kcap*a0 main pool on low-mean-degree graphs (triphone
+    mean deg 3.9) at the price of more overflow-group traffic — the
+    KERNELS.md round-5 A0 sweep (tools/exp_tri_decode.py) measures the
+    trade."""
     S = g.num_states
     A = len(g.src)
     counts = np.bincount(g.src, minlength=S).astype(np.int64)
@@ -79,30 +85,30 @@ def build_split_graph(g: PackedGraph) -> SplitTokenGraph:
     rows = g.src[order].astype(np.int64)
     slots = np.arange(A, dtype=np.int64) - run_start[rows]
 
-    main = slots < A0
-    w_m = np.full((S, A0), NEG, np.float32)
-    p_m = np.zeros((S, A0), np.int32)
-    d_m = np.zeros((S, A0), np.int32)
-    o_m = np.zeros((S, A0), np.int32)
+    main = slots < a0
+    w_m = np.full((S, a0), NEG, np.float32)
+    p_m = np.zeros((S, a0), np.int32)
+    d_m = np.zeros((S, a0), np.int32)
+    o_m = np.zeros((S, a0), np.int32)
     w_m[rows[main], slots[main]] = -g.weight[order][main]
     p_m[rows[main], slots[main]] = g.pdf[order][main]
     d_m[rows[main], slots[main]] = g.dst[order][main]
     o_m[rows[main], slots[main]] = g.olabel[order][main]
 
-    # overflow groups: ceil((deg - A0)/A0) per high-degree state, packed
-    extra = np.maximum(counts - A0, 0)
-    ngrp = -(-extra // A0)
+    # overflow groups: ceil((deg - a0)/a0) per high-degree state, packed
+    extra = np.maximum(counts - a0, 0)
+    ngrp = -(-extra // a0)
     ov_base = np.zeros(S, np.int64)
     ov_base[1:] = np.cumsum(ngrp)[:-1]
     G = int(ngrp.sum())
-    w_o = np.full((max(G, 1), A0), NEG, np.float32)
-    p_o = np.zeros((max(G, 1), A0), np.int32)
-    d_o = np.zeros((max(G, 1), A0), np.int32)
-    o_o = np.zeros((max(G, 1), A0), np.int32)
+    w_o = np.full((max(G, 1), a0), NEG, np.float32)
+    p_o = np.zeros((max(G, 1), a0), np.int32)
+    d_o = np.zeros((max(G, 1), a0), np.int32)
+    o_o = np.zeros((max(G, 1), a0), np.int32)
     ext = ~main
-    es = slots[ext] - A0
-    erow = ov_base[rows[ext]] + es // A0
-    eslot = es % A0
+    es = slots[ext] - a0
+    erow = ov_base[rows[ext]] + es // a0
+    eslot = es % a0
     w_o[erow, eslot] = -g.weight[order][ext]
     p_o[erow, eslot] = g.pdf[order][ext]
     d_o[erow, eslot] = g.dst[order][ext]
@@ -124,14 +130,14 @@ def build_split_graph(g: PackedGraph) -> SplitTokenGraph:
     return SplitTokenGraph(
         jnp.asarray(packed), jnp.asarray(ov_packed),
         jnp.asarray(olabel), jnp.asarray(src_of_row),
-        jnp.asarray(np.int32(g.start)), jnp.asarray(fin), S, G)
+        jnp.asarray(np.int32(g.start)), jnp.asarray(fin), S, G, a0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_states", "num_groups",
-                                             "kcap", "eg", "select_q"))
+                                             "kcap", "eg", "select_q", "a0"))
 def _decode_split_impl(loglik, length, packed, ov_packed, src_of_row,
                        final_w, start, *, num_states, num_groups, kcap,
-                       beam, eg, select_q=16):
+                       beam, eg, select_q=16, a0=A0):
     from dsr_tpu.ops.pallas import select as _sel
 
     T, P = loglik.shape
@@ -143,12 +149,12 @@ def _decode_split_impl(loglik, length, packed, ov_packed, src_of_row,
     def step(carry, inp):
         states, scores = carry
         t, ll = inp
-        rows = packed[states]                       # (K, 3*A0+2) ONE gather
-        w_m = rows[:, :A0]
-        pdf_m = rows[:, A0:2 * A0].astype(jnp.int32)
-        dst_m = rows[:, 2 * A0:3 * A0].astype(jnp.int32)
-        ovb = rows[:, 3 * A0].astype(jnp.int32)
-        ovc = rows[:, 3 * A0 + 1].astype(jnp.int32)
+        rows = packed[states]                       # (K, 3*a0+2) ONE gather
+        w_m = rows[:, :a0]
+        pdf_m = rows[:, a0:2 * a0].astype(jnp.int32)
+        dst_m = rows[:, 2 * a0:3 * a0].astype(jnp.int32)
+        ovb = rows[:, 3 * a0].astype(jnp.int32)
+        ovc = rows[:, 3 * a0 + 1].astype(jnp.int32)
 
         # ---- ragged overflow groups → EG dense slots --------------------
         ovc_live = jnp.where(scores > NEG / 2, ovc, 0)
@@ -160,11 +166,15 @@ def _decode_split_impl(loglik, length, packed, ov_packed, src_of_row,
         t_e = jnp.sum(cmp, axis=1).astype(jnp.int32) - 1
         oh_t = (t_e[:, None] == iota_k[None, :]).astype(jnp.float32)
         # ONE (EG, K) @ (K, 4) pick for all per-token fields (the frame
-        # loop is op-overhead-bound — see module docstring's measurement)
+        # loop is op-overhead-bound — see module docstring's measurement).
+        # HIGHEST precision: the bf16 hi/lo split's ~2^-16 rel error on
+        # the picked SCORES (|score| ~ 1e5 late in an utterance) made
+        # split != dense by ~0.1 when winning arcs ride overflow (seen
+        # at a0=2); this matmul is tiny, so exactness is free.
         tab = jnp.stack([pref.astype(jnp.float32),
                          ovc_live.astype(jnp.float32),
                          ovb.astype(jnp.float32), scores], axis=1)
-        picked = _split_mm(oh_t, tab, "ek,kc->ec")
+        picked = jnp.einsum("ek,kc->ec", oh_t, tab, precision=_HI)
         pref_e = picked[:, 0].astype(jnp.int32)
         ovc_e = picked[:, 1].astype(jnp.int32)
         ovb_e = picked[:, 2].astype(jnp.int32)
@@ -172,12 +182,12 @@ def _decode_split_impl(loglik, length, packed, ov_packed, src_of_row,
         j_e = iota_e - pref_e
         valid_e = (t_e >= 0) & (j_e < ovc_e)
         grow = jnp.clip(ovb_e + j_e, 0, max(num_groups - 1, 0))
-        orows = ov_packed[grow]                      # (EG, 3*A0) gather
-        w_e = jnp.where(valid_e[:, None], orows[:, :A0], NEG)
-        pdf_e = orows[:, A0:2 * A0].astype(jnp.int32)
-        dst_e = orows[:, 2 * A0:].astype(jnp.int32)
+        orows = ov_packed[grow]                      # (EG, 3*a0) gather
+        w_e = jnp.where(valid_e[:, None], orows[:, :a0], NEG)
+        pdf_e = orows[:, a0:2 * a0].astype(jnp.int32)
+        dst_e = orows[:, 2 * a0:].astype(jnp.int32)
 
-        # ---- unified (K+EG, A0) candidate block -------------------------
+        # ---- unified (K+EG, a0) candidate block -------------------------
         w_all = jnp.concatenate([w_m, w_e], axis=0)
         pdf_all = jnp.concatenate([pdf_m, pdf_e], axis=0)
         dst_all = jnp.concatenate([dst_m, dst_e], axis=0)
@@ -186,7 +196,7 @@ def _decode_split_impl(loglik, length, packed, ov_packed, src_of_row,
         ohp = (pdf_all[..., None] == iota_p[None, None, :]).astype(jnp.float32)
         llv = _split_mm(ohp, ll, "kap,p->ka")
         cand = base[:, None] + w_all + llv
-        arc_ids = (row_id[:, None] * A0 + jnp.arange(A0)[None, :])
+        arc_ids = (row_id[:, None] * a0 + jnp.arange(a0)[None, :])
         new_scores, new_dst, new_arc, spill = _sel.recombine_topk(
             cand.reshape(-1), dst_all.reshape(-1), arc_ids.reshape(-1),
             jnp.float32(beam), kcap=kcap, q=select_q)
@@ -216,7 +226,7 @@ def _decode_split_impl(loglik, length, packed, ov_packed, src_of_row,
         k = jnp.argmax(sts == state)
         arc = arcs[k]
         valid = (t < length) & (arc >= 0)
-        prev = jnp.where(valid, src_of_row[jnp.maximum(arc, 0) // A0], state)
+        prev = jnp.where(valid, src_of_row[jnp.maximum(arc, 0) // a0], state)
         return prev, (jnp.maximum(arc, 0), valid)
 
     _, (arcs_bt, valid_bt) = jax.lax.scan(
@@ -244,7 +254,7 @@ def decode_split(graph: SplitTokenGraph, loglik, kcap: int = 256,
         loglik, ln, graph.packed, graph.ov_packed, graph.src_of_row,
         graph.final_weight, graph.start, num_states=graph.num_states,
         num_groups=graph.num_groups, kcap=kcap, beam=beam, eg=eg,
-        select_q=select_q)
+        select_q=select_q, a0=graph.a0)
     olabs = jnp.where(valid, graph.olabel[arcs], 0)
     return olabs, score, spills, ovf
 

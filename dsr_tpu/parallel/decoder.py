@@ -170,6 +170,7 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
     g = pad_token_graph_states(graph, n_model)
     S, A = g.num_states, g.a_max
     S_shard = S // n_model
+    start_v = int(g.start)
     from dsr_tpu.ops.pallas import select as _sel
     from dsr_tpu.ops.pallas import use_interpret
     # interpret-mode Pallas inside shard_map compiles pathologically
@@ -214,7 +215,7 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
 
         def one_utt(ll, length):
             T = ll.shape[0]
-            states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(jnp.int32(g.start))
+            states0 = jnp.zeros((kcap,), jnp.int32).at[0].set(jnp.int32(start_v))
             scores0 = jnp.full((kcap,), NEG, jnp.float32).at[0].set(0.0)
             # the carry varies over `data` (it depends on this shard's ll)
             # and is marked varying over `model` too: every shard computes
@@ -353,6 +354,9 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
     g_dev = tuple(jax.device_put(x, rows)
                   for x in (g.pdf, g.olabel, g.weight, g.dst,
                             g.final_weight))
+    # the closure needs only the scalars (start_v/S/A); dropping the host
+    # padded planes halves peak residency at >10 GB graph scale
+    del g, graph
 
     jfn = jax.jit(fn)
 

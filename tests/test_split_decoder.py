@@ -54,3 +54,33 @@ def test_split_decode_matches_dense(task):
         assert int(ovf) == 0, "EG budget must cover this graph's decodes"
         assert ws == wd, (i, ws, wd)
         assert abs(float(scs) - float(scd)) < 2e-2
+
+@pytest.mark.parametrize("a0", [2, 4])
+def test_split_decode_a0_variants_match_dense(task, a0):
+    """Round-5 A0 sweep machinery (KERNELS.md): narrower main tables pack
+    and decode exactly like the default, with the overflow budget sized
+    for the extra group demand."""
+    tg = tk.build_token_graph(task.graph)
+    sp = sd.build_split_graph(task.graph, a0=a0)
+    deg = np.bincount(task.graph.src, minlength=task.graph.num_states)
+    n_main = int((np.asarray(sp.packed[:, :a0]) > sd.NEG / 2).sum())
+    n_ov = int((np.asarray(sp.ov_packed[:, :a0]) > sd.NEG / 2).sum())
+    assert n_main + n_ov == task.graph.num_arcs
+    assert n_main == int(np.minimum(deg, a0).sum())
+    rng = np.random.default_rng(1)
+    params = lvcsr.synthetic_am(task, var=4.0)
+    rng0 = np.random.default_rng(task.cfg.seed)
+    lex = lvcsr.make_lexicon(task.cfg.vocab_size, rng0)
+    text = lvcsr.make_text(sorted(lex), task.cfg.n_tokens,
+                           task.cfg.branching, rng0)
+    from dsr_tpu.asr.am import gmm as jgmm
+
+    feats = lvcsr.synthesize_utterance(task, text[3][:5], rng, noise=2.0)
+    ll = jgmm.loglik(params, jnp.asarray(feats))
+    od, scd = tk.decode(tg, ll, kcap=256, beam=60.0)
+    os_, scs, spills, ovf = sd.decode_split(sp, ll, kcap=256, beam=60.0,
+                                            eg=2048 // a0)
+    assert int(ovf) == 0, "EG budget must cover the narrower main table"
+    assert [int(w) for w in np.asarray(os_) if w] == \
+        [int(w) for w in np.asarray(od) if w]
+    assert abs(float(scs) - float(scd)) < 2e-2

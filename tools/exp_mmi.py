@@ -2,13 +2,15 @@
 strictly increase the MMI criterion, and discriminative training converts
 to WER at a noise point where the ML system makes errors.
 
-Pipeline: ML-train the monophone GMM AM on clean synthetic audio →
-EBW (numerator = forced alignments, denominator = exact forward-backward
-over the bigram decode HCLG, asr/train/mmi.ebw_train) → decode NOISY eval
+Pipeline: ML-train the monophone GMM AM on MATCHED-noise synthetic audio
+(multi-condition training — the discriminative-training recipe needs the
+denominator statistics collected under the eval condition) → EBW
+(numerator = forced alignments, denominator = exact forward-backward over
+the bigram decode HCLG, asr/train/mmi.ebw_train) → decode noisy eval
 audio with the ML vs the MMI AM on the same graph.
 
 Run: /opt/venv/bin/python tools/exp_mmi.py        (CPU ok)
-Optional: NOISE=0.12 E_UTTS=24 ITERS=4 ECONST=2.0
+Optional: NOISE=0.12 TRAIN_NOISE=0.12 E_UTTS=24 ITERS=4 ECONST=2.0
 """
 
 import os
@@ -20,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 NOISE = float(os.environ.get("NOISE", "0.12"))
+TRAIN_NOISE = float(os.environ.get("TRAIN_NOISE", str(NOISE)))
 E_UTTS = int(os.environ.get("E_UTTS", "24"))
 ITERS = int(os.environ.get("ITERS", "4"))
 ECONST = float(os.environ.get("ECONST", "2.0"))
@@ -48,7 +51,10 @@ def main():
     t0 = time.time()
     task = phone_task.PhoneTask(gcorpus.VOCAB, states_per_phone=2)
     corpus = gcorpus.make_corpus(60, seed=0)
-    feats = [feats_of(x) for _, x in corpus]
+    trng = np.random.default_rng(3)
+    feats = [feats_of(np.asarray(x)
+                      + TRAIN_NOISE * trng.standard_normal(len(x)))
+             for _, x in corpus]
     trans = [ws for ws, _ in corpus]
     ml_params = trainer.train(task, feats, trans, num_comp=2, iters=4)
     print(f"[{time.time()-t0:.0f}s] ML AM trained", flush=True)

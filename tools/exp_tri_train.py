@@ -132,6 +132,11 @@ def main():
     systems = ["mono", "tri"]
     sc = {(s, f): WerScorer() for s in systems for f in fronts}
     kcap_tri = min(TRI_KCAP, (sg.num_states // 128) * 128)
+    # overflow budget: max_outdeg=212 → one word-end token wants 26
+    # groups; the 256 default silently dropped arcs at word boundaries
+    # (exactly where olabels live) and cost the tri system ~40% WER
+    eg_tri = int(os.environ.get("TRI_EG", "2048"))
+    tot_spill = tot_ovf = 0
     for ref_words, x in eval_corpus:
         xm = groom.simulate(x, POS, SRCPOS, SR, snr_db=SNR_DB,
                             diffuse_snr_db=DIFFUSE_DB, rng=simrng,
@@ -146,7 +151,9 @@ def main():
             # production path: degree-split + select kernel, trained tri AM
             ll_t = jgmm.loglik(tri.params, ft)
             olabs, _, spills, ovf = sd.decode_split(
-                sg, ll_t, kcap=kcap_tri, beam=TRI_BEAM)
+                sg, ll_t, kcap=kcap_tri, beam=TRI_BEAM, eg=eg_tri)
+            tot_spill += int(spills)
+            tot_ovf += int(ovf)
             hyp_t = [words.name(int(wd)) for wd in np.asarray(olabs) if wd]
             sc[("tri", f)].add(list(ref_words), hyp_t)
             ll_m = jgmm.loglik(mono, ft)
@@ -163,6 +170,8 @@ def main():
     for s in systems:
         for f in fronts:
             print(f"| {s} | {f} | {100 * sc[(s, f)].wer:.2f} |  ({sc[(s, f)]})")
+    print(f"split-decode certificates: spill_frames={tot_spill} "
+          f"overflow_frames={tot_ovf} (eg={eg_tri})")
     wer = {k: v.wer for k, v in sc.items()}
     ok1 = wer[("tri", "mvdr")] < wer[("tri", "single")]
     ok2 = wer[("tri", "mvdr")] <= wer[("mono", "mvdr")] + 1e-9
