@@ -252,12 +252,17 @@ def bench_decode_tri(jax, jnp):
     """Context-dependent LVCSR decode (the realistic config): tied-
     triphone HCLG (213k states, a_max=263) through the DEGREE-SPLIT
     decoder + select kernel at the accuracy-safe kcap=512 (PRUNING.md
-    round-4 table: WER identical to dense-exact at every setting)."""
+    round-4 table: WER identical to dense-exact at every setting).
+
+    Round-5 adoption: a0=4 main tables (mean out-degree 3.95 means the
+    8-arc table was ~50% padding) + eg=640/384 — 1.41x/1.65x over the
+    round-4 a0=8 layout at kcap=512/256, certificates clean on real
+    logliks (KERNELS.md A0 sweep)."""
     from dsr_tpu.asr import lvcsr
     from dsr_tpu.asr.decoder import split_decoder as sd
 
     task = lvcsr.build_task_tri()
-    sg = sd.build_split_graph(task.graph)
+    sg = sd.build_split_graph(task.graph, a0=4)
     U, T = 8, 1000
     rng = np.random.default_rng(0)
     ll = jax.device_put(rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32))
@@ -276,20 +281,20 @@ def bench_decode_tri(jax, jnp):
         return (time.perf_counter() - t0) / reps, out
 
     a_max = int(np.bincount(task.graph.src, minlength=sg.num_states).max())
-    dt512, out512 = run(512, 512)
-    dt256, out256 = run(256, 512)
-    kcap, eg = 512, 512
+    dt512, out512 = run(512, 640)
+    dt256, out256 = run(256, 384)
+    kcap, eg = 512, 640
     roof = decode_roofline(
-        U, kcap, task.num_pdfs, (kcap + eg) * sd.A0,
-        (kcap * (3 * sd.A0 + 2) + eg * 3 * sd.A0) * 4, dt512 / T * 1e6)
+        U, kcap, task.num_pdfs, (kcap + eg) * sg.a0,
+        (kcap * (3 * sg.a0 + 2) + eg * 3 * sg.a0) * 4, dt512 / T * 1e6)
     return {
         "audio_sec_per_s": round(audio / dt512, 2),
         "rtf": round(dt512 / audio, 5),
         "fraction_of_roofline": roof["fraction_of_roofline"],
         "roofline": roof,
         "graph": {"states": sg.num_states, "overflow_groups": sg.num_groups,
-                  "a_max": a_max, "kcap": 512, "eg": 512},
-        "path": "degree-split + Pallas select q=16",
+                  "a_max": a_max, "a0": sg.a0, "kcap": 512, "eg": 640},
+        "path": "degree-split a0=4 + Pallas select q=16",
         "kcap256_audio_sec_per_s": round(audio / dt256, 2),
         "overflow_frames": int(np.asarray(out512[3]).sum()),
     }

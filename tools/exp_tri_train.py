@@ -1,11 +1,21 @@
 """Round-5 VERDICT item 1 — the reference's ACTUAL workflow, end to end
 with no synthetic stand-ins on the model side (SURVEY.md §3.4):
 
-  clean audio → monophone EM → forced alignment → DATA-driven tree stats
+  MATCHED-front-end training audio (reverberant 8-ch sim → MVDR → MFCC)
+  → monophone EM → forced alignment → DATA-driven tree stats
   → likelihood-gain tying → tied-triphone EM (asr/tritrain.py)
   → triphone HCLG over a large distractor lexicon (native WFST core)
   → reverberant 8-ch eval audio → MVDR beamforming → MFCC/CMN
   → degree-split + select-kernel PRODUCTION decode → WER.
+
+MATCHED training is load-bearing (diagnosed round 5): AMs trained on
+CLEAN features decode clean eval near-perfectly but collapse on
+reverberant-MVDR eval (tri 93% WER vs mono 33% — the sharper
+context-dependent Gaussians generalise WORSE across the channel
+mismatch; dense kcap=2048 == split kcap=512 outputs ruled out search
+width and the split path).  Training through the production front-end
+is the standard distant-ASR recipe; TRAIN_FRONT=clean reproduces the
+mismatch numbers.
 
 Gates: WER(trained-tri, MVDR) < WER(trained-tri, single mic) — the
 beamformer earns its keep under a TRAINED AM — and WER(trained-tri, MVDR)
@@ -13,7 +23,7 @@ beamformer earns its keep under a TRAINED AM — and WER(trained-tri, MVDR)
 table lives in PRUNING.md (round-5 section).
 
 Run: /opt/venv/bin/python tools/exp_tri_train.py        (CPU ok)
-Optional: NDIST=300 E_UTTS=12 TRAIN_UTTS=60
+Optional: NDIST=300 E_UTTS=12 TRAIN_UTTS=60 TRAIN_FRONT=mvdr|clean
 """
 
 import os
@@ -80,10 +90,36 @@ def main():
         return np.asarray(jft.cmn(jft.mfcc(np.asarray(x, np.float32), SR)))
 
     t0 = time.time()
-    # ---- 1. trained AMs from audio -------------------------------------
+    # ---- 0. the production front-end (used for training AND eval) ------
+    cfg = FilterbankConfig(M=256, m=4, r=2)
+    N = 8
+    POS = np.asarray(ArrayGeometry.circular(N, 0.10).positions)
+    taus = (groom.steering_delays(POS, SRCPOS, 343.0, SR) / SR).astype(np.float32)
+    v = jbf.steering_vectors(jnp.asarray(taus), cfg.M, SR)
+    Gamma = jbf.diffuse_coherence(POS, cfg.M, SR, 343.0)
+    w_mvdr = jbf.mvdr_weights(v, Gamma, 1e-2)
+
+    def mvdr_of(xm):
+        A = jfb.analysis(xm, cfg)
+        return np.asarray(jfb.synthesis(jbf.apply_weights(A, w_mvdr), cfg,
+                                        xm.shape[-1]))
+
+    # ---- 1. trained AMs from MATCHED-front-end audio -------------------
     task = phone_task.PhoneTask(gcorpus.VOCAB, states_per_phone=2)
     train_corpus = gcorpus.make_corpus(TRAIN_UTTS, seed=0)
-    feats = [feats_of(x) for _, x in train_corpus]
+    train_front = os.environ.get("TRAIN_FRONT", "mvdr")
+    tsim = np.random.default_rng(23)
+    if train_front == "mvdr":
+        feats = []
+        for _, x in train_corpus:
+            xm = groom.simulate(x, POS, SRCPOS, SR, snr_db=SNR_DB,
+                                diffuse_snr_db=DIFFUSE_DB, rng=tsim,
+                                room_dim=ROOM, array_center=CENTER,
+                                reflect=REFLECT, max_order=ORDER
+                                ).astype(np.float32)
+            feats.append(feats_of(mvdr_of(xm)))
+    else:
+        feats = [feats_of(x) for _, x in train_corpus]
     trans = [ws for ws, _ in train_corpus]
     mono = trainer.train(task, feats, trans, num_comp=2, iters=4)
     print(f"[{time.time()-t0:.0f}s] monophone trained", flush=True)
@@ -118,14 +154,6 @@ def main():
           f"states {len(mono_graph.src)} arcs a_max={tg_m.a_max}", flush=True)
 
     # ---- 3. reverberant eval → beamform → decode -----------------------
-    cfg = FilterbankConfig(M=256, m=4, r=2)
-    N = 8
-    POS = np.asarray(ArrayGeometry.circular(N, 0.10).positions)
-    taus = (groom.steering_delays(POS, SRCPOS, 343.0, SR) / SR).astype(np.float32)
-    v = jbf.steering_vectors(jnp.asarray(taus), cfg.M, SR)
-    Gamma = jbf.diffuse_coherence(POS, cfg.M, SR, 343.0)
-    w_mvdr = jbf.mvdr_weights(v, Gamma, 1e-2)
-
     simrng = np.random.default_rng(11)
     eval_corpus = gcorpus.make_corpus(E_UTTS, seed=300)
     fronts = ["single", "mvdr"]
@@ -142,10 +170,7 @@ def main():
                             diffuse_snr_db=DIFFUSE_DB, rng=simrng,
                             room_dim=ROOM, array_center=CENTER,
                             reflect=REFLECT, max_order=ORDER).astype(np.float32)
-        A = jfb.analysis(xm, cfg)
-        outs = {"single": xm[0],
-                "mvdr": jfb.synthesis(jbf.apply_weights(A, w_mvdr), cfg,
-                                      xm.shape[-1])}
+        outs = {"single": xm[0], "mvdr": mvdr_of(xm)}
         for f in fronts:
             ft = jnp.asarray(feats_of(outs[f]))
             # production path: degree-split + select kernel, trained tri AM
