@@ -201,48 +201,71 @@ def bench_beamform(jax, jnp):
 
 
 def bench_decode(jax, jnp):
+    """Monophone LVCSR decode.  Round-5 adoption: the a0=2 degree-split
+    layout un-neutralises the split decoder on THIS graph too (mean
+    out-degree 2.44 — round 3's NEUTRAL verdict was an A0=8 artifact):
+    477/527 au-s/s at q=16/8 vs the dense-kernel path's 393/425, eg=896
+    certificate-clean (ovf=0, spill=0) on real in-domain loglik
+    (KERNELS.md round-5 A0 sweep)."""
     from dsr_tpu.asr import lvcsr
+    from dsr_tpu.asr.decoder import split_decoder as sd
     from dsr_tpu.asr.decoder import topk_decoder as tk
 
     task = lvcsr.build_task(lvcsr.LvcsrConfig())  # ~0.5M states / ~1M arcs
     g = tk.build_token_graph(task.graph)
+    sg = sd.build_split_graph(task.graph, a0=2)
     U, T = 8, 1000                                # 8 utts x 8 s @ 125 fps
     rng = np.random.default_rng(0)
     ll = jax.device_put(rng.standard_normal((U, T, task.num_pdfs)).astype(np.float32))
     lens = jax.device_put(np.full(U, T, np.int32))
     audio = U * T / 125.0
+    kcap, eg = 256, 896
 
-    def run(**kw):
-        out = tk.decode_batch(g, ll, lens, kcap=256, beam=40.0, **kw)
+    def run_split(q):
+        out = sd.decode_batch_split(sg, ll, lens, kcap=kcap, beam=40.0,
+                                    eg=eg, select_q=q)
         float(jnp.sum(out[1]))                    # warmup / compile
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = tk.decode_batch(g, ll, lens, kcap=256, beam=40.0, **kw)
+            out = sd.decode_batch_split(sg, ll, lens, kcap=kcap, beam=40.0,
+                                        eg=eg, select_q=q)
             float(jnp.sum(out[1]))
         return (time.perf_counter() - t0) / reps, out
 
-    # production path: Pallas recombine/prune kernel (ops/pallas/select.py)
-    dt, out = run(select_mode="pallas", select_q=16, return_spill=True)
-    spill16 = int(np.asarray(out[2]).sum())
-    dt8, out8 = run(select_mode="pallas", select_q=8, return_spill=True)
-    spill8 = int(np.asarray(out8[2]).sum())
-    dtx, _ = run(select_mode="xla")
-    kcap = 256
+    def run_dense(**kw):
+        out = tk.decode_batch(g, ll, lens, kcap=kcap, beam=40.0, **kw)
+        float(jnp.sum(out[1]))                    # warmup / compile
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = tk.decode_batch(g, ll, lens, kcap=kcap, beam=40.0, **kw)
+            float(jnp.sum(out[1]))
+        return (time.perf_counter() - t0) / reps, out
+
+    # production path: a0=2 degree-split + Pallas select
+    dt, out = run_split(16)
+    dt8, out8 = run_split(8)
+    dtd, outd = run_dense(select_mode="pallas", select_q=16, return_spill=True)
+    dtx, _ = run_dense(select_mode="xla")
     roof = decode_roofline(
-        U, kcap, task.num_pdfs, kcap * g.a_max,
-        kcap * 3 * g.a_max * 4, dt / T * 1e6)
+        U, kcap, task.num_pdfs, (kcap + eg) * sg.a0,
+        (kcap * (3 * sg.a0 + 2) + eg * 3 * sg.a0) * 4, dt / T * 1e6)
     return {
         "audio_sec_per_s": round(audio / dt, 2),
         "rtf": round(dt / audio, 5),
         "fraction_of_roofline": roof["fraction_of_roofline"],
         "roofline": roof,
         "graph": {"states": g.num_states, "arcs": int(task.build_stats["num_arcs"]),
-                  "a_max": g.a_max, "kcap": 256},
+                  "a_max": g.a_max, "a0": sg.a0, "kcap": kcap, "eg": eg},
+        "path": "degree-split a0=2 + Pallas select q=16",
         "select": {
-            "path": "pallas q=16", "spill_frames": spill16,
-            "pallas_q8_audio_sec_per_s": round(audio / dt8, 2),
-            "pallas_q8_spill_frames": spill8,
+            "spill_frames": int(np.asarray(out[2]).sum()),
+            "overflow_frames": int(np.asarray(out[3]).sum()),
+            "split_q8_audio_sec_per_s": round(audio / dt8, 2),
+            "split_q8_spill_frames": int(np.asarray(out8[2]).sum()),
+            "dense_pallas_q16_audio_sec_per_s": round(audio / dtd, 2),
+            "dense_pallas_q16_spill_frames": int(np.asarray(outd[2]).sum()),
             "xla_sort_audio_sec_per_s": round(audio / dtx, 2),
         },
     }

@@ -20,16 +20,21 @@ than the dense table's 12032 — shrinking the packed-row gather, the
 one-hot MXU acoustic lookup and the Pallas select kernel's presort
 (whose cost is proportional to candidate rows) together.
 
-MEASURED OUTCOME (round 3, on-chip, 532k-state bench config): NEUTRAL —
-163-169 µs/frame vs the dense Pallas path's 160-164 (0.95-1.02×), words
-equal on real logliks, 0 budget overflows.  The array-size savings are
-real but fully offset by the ~15 extra XLA ops of the ragged expansion:
-at this scale the frame loop is per-op-overhead-bound (the same lesson
-as the select kernel's per-utterance-grid rejection).  Kept as a tested
-alternative; to make the pool shrink pay, the expansion must move INTO
-the select kernel (scalar-prefetched group indices driving its DMAs) or
-the step's op count must drop — next-round material, recorded so the
-naive version is not re-attempted.
+MEASURED OUTCOME (round 3, on-chip, 532k-state bench config, A0=8):
+NEUTRAL — 163-169 µs/frame vs the dense Pallas path's 160-164
+(0.95-1.02×), words equal on real logliks, 0 budget overflows.  The
+array-size savings were offset by the ~15 extra XLA ops of the ragged
+expansion at that pool shrink (2.9×).
+
+ROUND-5 CORRECTION: the neutrality was an A0=8 ARTIFACT, not a property
+of the graph.  With the main width a build parameter, a0=2 shrinks the
+monophone pool 5.2× (2304 vs 12032 candidates) against the same op
+count: 108.8-118.3 µs/frame = 1.38-1.50× over the dense kernel path;
+the certificate-clean production point (eg=896: ovf=0 AND spill=0 on
+real in-domain loglik) runs 477/527 au-s/s at q=16/8 vs dense 393/425.
+On the triphone graph a0=4 + eg=640 is the measured optimum (1.41× at
+kcap=512).  KERNELS.md round-5 A0 sweep has the full tables; bench.py
+adopts both.
 
 Exactness: identical to the dense decoder whenever (a) the frame's
 overflow demand fits the EG budget and (b) the select kernel does not

@@ -181,6 +181,15 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
     # tools/run_pallas_on_tpu.py
     use_kernel = (select_mode != "xla" and not use_interpret()
                   and _sel.supported(kcap * A, kcap, 0))
+    # the cross-shard merge is itself a recombine-top-K over n_model*kcap
+    # candidates — run it through the kernel too (the XLA sort+top_k merge
+    # dominates the sharded frame loop's 2.9x single-chip tax: 476 vs 162
+    # us/frame, KERNELS.md round 5).  Small pools are NEG-padded up to the
+    # kernel's 4*LANES minimum: NEG candidates never survive the alive
+    # mask, and the batch axis stacks all utterances into one kernel.
+    merge_pad = max(4 * 128 - n_model * kcap, 0)
+    merge_kernel = (use_kernel
+                    and _sel.supported(n_model * kcap + merge_pad, kcap, 0))
     if select_mode == "pallas" and not use_kernel:
         raise ValueError(
             f"select_mode='pallas' but the select kernel does not cover "
@@ -188,8 +197,19 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
             "backend is interpret-mode (sharded kernel decode needs the "
             "real chip)")
 
+    # ids are exact in f32 below 2^24 (the 14.6M-arc config-4 graph has
+    # 6.0M states — comfortably inside); larger graphs fall back to
+    # separate planes
+    packed_rows = S < (1 << 24)
+
     def decode_shard(pdf, ola, wgt, dst, fin, loglik, lengths):
-        # pdf/ola/wgt/dst: (S_shard, A); fin: (S_shard,); loglik: (U_sh, T, P)
+        # pdf/wgt/dst: (S_shard, A) — or, when `packed_rows`, wgt is the
+        # FUSED (S_shard, 3A) w|pdf|dst plane and pdf/dst are unused
+        # placeholders: ONE row-gather instead of three, same trick as
+        # topk_decoder._make_step (TPU gathers serialise — three separate
+        # (kcap, A) gathers measured ~45 us/utt/frame of the sharded
+        # loop's 2.9x single-chip tax).  ola: (S_shard, A); fin:
+        # (S_shard,); loglik: (U_sh, T, P)
         shard = jax.lax.axis_index("model")
         offset = shard * S_shard
 
@@ -233,8 +253,15 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
                 local = states - offset
                 mine = (local >= 0) & (local < S_shard)
                 li = jnp.clip(local, 0, S_shard - 1)
-                w = jnp.where(mine[:, None], wgt[li], NEG)       # (kcap, A)
-                pdfr = pdf[li]
+                if packed_rows:
+                    rows = wgt[li]                   # ONE (kcap, 3A) gather
+                    w = jnp.where(mine[:, None], rows[:, :A], NEG)
+                    pdfr = rows[:, A:2 * A].astype(jnp.int32)
+                    dstr = rows[:, 2 * A:].astype(jnp.int32)
+                else:
+                    w = jnp.where(mine[:, None], wgt[li], NEG)   # (kcap, A)
+                    pdfr = pdf[li]
+                    dstr = dst[li]
                 P = llt.shape[-1]
                 if P <= 2048:
                     # HOT LOOP 4 lookup on the MXU (a kcap·A gather from a
@@ -247,7 +274,7 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
                     llv = llt[pdfr]
                 cand = scores[:, None] + w + llv
                 flat = cand.reshape(-1)
-                fdst = dst[li].reshape(-1)
+                fdst = dstr.reshape(-1)
                 arc_ids = (states[:, None] * A
                            + jax.lax.broadcasted_iota(jnp.int32, (kcap, A), 1)
                            ).reshape(-1)
@@ -270,25 +297,54 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
                     loc_d, loc_a = sd[idx], sa[idx]
                     spill = jnp.zeros((), bool)
                 # ---- exchange: all_gather candidate sets over ICI --------
-                gv = jax.lax.all_gather(loc_v, "model", tiled=True)
-                gd = jax.lax.all_gather(loc_d, "model", tiled=True)
-                ga = jax.lax.all_gather(loc_a, "model", tiled=True)
+                # ONE all_gather of a stacked (3, kcap) plane instead of
+                # three (one collective launch per frame instead of three
+                # at n_model>1; neutral at n_model=1 where gathers compile
+                # away); int planes ride as bitcast f32 so exact ids
+                # survive (f32 itself only holds ints < 2^24 — a 14.6M-arc
+                # graph's arc ids do not fit)
+                stacked = jnp.stack([
+                    loc_v,
+                    jax.lax.bitcast_convert_type(loc_d, jnp.float32),
+                    jax.lax.bitcast_convert_type(loc_a, jnp.float32)])
+                gall = jax.lax.all_gather(stacked, "model", tiled=True,
+                                          axis=1)
+                gv = gall[0]
+                gd = jax.lax.bitcast_convert_type(gall[1], jnp.int32)
+                ga = jax.lax.bitcast_convert_type(gall[2], jnp.int32)
                 # ---- replicated merge: recombine across shards -----------
-                md, mneg, ma = jax.lax.sort((gd, -gv, ga), num_keys=3)
-                firstm = jnp.concatenate([jnp.ones((1,), bool), md[1:] != md[:-1]])
-                mval = jnp.where(firstm, -mneg, NEG)
-                mx = jnp.max(mval)
-                mval = jnp.where(mval > mx - beam, mval, NEG)    # beam prune
-                new_scores, midx = jax.lax.top_k(mval, kcap)
-                alive = new_scores > NEG / 2
-                new_states = jnp.where(alive, md[midx], 0).astype(jnp.int32)
+                if merge_kernel:
+                    if merge_pad:
+                        gv = jnp.concatenate(
+                            [gv, jnp.full((merge_pad,), NEG, gv.dtype)])
+                        gd = jnp.concatenate(
+                            [gd, jnp.zeros((merge_pad,), gd.dtype)])
+                        ga = jnp.concatenate(
+                            [ga, jnp.full((merge_pad,), -1, ga.dtype)])
+                    new_scores, new_states, m_arc, mspill = \
+                        _sel.recombine_topk(gv, gd, ga, jnp.float32(beam),
+                                            kcap=kcap)
+                    alive = new_scores > NEG / 2
+                    new_states = jnp.where(alive, new_states, 0)
+                else:
+                    md, mneg, ma = jax.lax.sort((gd, -gv, ga), num_keys=3)
+                    firstm = jnp.concatenate([jnp.ones((1,), bool),
+                                              md[1:] != md[:-1]])
+                    mval = jnp.where(firstm, -mneg, NEG)
+                    mx = jnp.max(mval)
+                    mval = jnp.where(mval > mx - beam, mval, NEG)  # beam prune
+                    new_scores, midx = jax.lax.top_k(mval, kcap)
+                    alive = new_scores > NEG / 2
+                    new_states = jnp.where(alive, md[midx], 0).astype(jnp.int32)
+                    m_arc = ma[midx]
+                    mspill = jnp.zeros((), bool)
                 keep = t < length
                 states_o = jnp.where(keep, new_states, states)
                 scores_o = jnp.where(keep, new_scores, scores)
-                bp_arc = jnp.where(keep & alive, ma[midx], -1)
-                # any shard's local spill voids the frame certificate
+                bp_arc = jnp.where(keep & alive, m_arc, -1)
+                # any shard's local OR merge spill voids the certificate
                 spill_any = jax.lax.pmax(
-                    (spill & keep).astype(jnp.int32), "model") > 0
+                    ((spill | mspill) & keep).astype(jnp.int32), "model") > 0
                 return (states_o, scores_o), (states_o, bp_arc, scores_o,
                                               spill_any)
 
@@ -351,12 +407,19 @@ def make_sharded_decode(mesh: Mesh, graph: TokenGraph, kcap: int = 256,
     # (the 21M-arc config-4 graph's dense tables are 20 GB; round 5).
     from jax.sharding import NamedSharding
     rows = NamedSharding(mesh, P("model"))
-    g_dev = tuple(jax.device_put(x, rows)
-                  for x in (g.pdf, g.olabel, g.weight, g.dst,
-                            g.final_weight))
+    if packed_rows:
+        fused = jnp.concatenate([g.weight, g.pdf.astype(jnp.float32),
+                                 g.dst.astype(jnp.float32)], axis=1)
+        planes = (jnp.zeros((S, 1), jnp.int32), g.olabel, fused,
+                  jnp.zeros((S, 1), jnp.int32), g.final_weight)
+    else:
+        planes = (g.pdf, g.olabel, g.weight, g.dst, g.final_weight)
+    g_dev = tuple(jax.device_put(x, rows) for x in planes)
     # the closure needs only the scalars (start_v/S/A); dropping the host
     # padded planes halves peak residency at >10 GB graph scale
-    del g, graph
+    del g, graph, planes
+    if packed_rows:
+        del fused
 
     jfn = jax.jit(fn)
 

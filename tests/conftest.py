@@ -13,6 +13,13 @@ import sys
 ON_TPU = bool(os.environ.get("DSR_TPU_TESTS"))
 if not ON_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # CPU suites never touch the persistent compile cache: entries written
+    # by axon-session processes carry the REMOTE compile machine's CPU
+    # feature set (+amx/+prefer-no-scatter...), and loading such an AOT
+    # result on this host warns "could lead to SIGILL" and has segfaulted
+    # a suite run (round 5).  Local CPU compiles are cheap; the cache's
+    # value is the 10-90 s axon remote compiles, which keep it.
+    os.environ.setdefault("DSR_TPU_NO_CACHE", "1")
     flags = os.environ.get("XLA_FLAGS", "")
     if "--xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
