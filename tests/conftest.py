@@ -22,7 +22,15 @@ if not ON_TPU:
     os.environ.setdefault("DSR_TPU_NO_CACHE", "1")
     flags = os.environ.get("XLA_FLAGS", "")
     if "--xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # 8 virtual devices share few physical cores: a long-running
+    # other-device computation can hold a collective rendezvous past
+    # XLA:CPU's terminate timeout, which CHECK-fails the process (seen as
+    # a flaky fatal in a contended dryrun).  Warn early, terminate late.
+    if "--xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+    os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
