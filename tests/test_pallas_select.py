@@ -37,6 +37,8 @@ def pairs(scores, dst, arc):
     (2000, 128, 400, 2.0),     # beam actually prunes
     (12032, 256, 5000, 1e9),   # the LVCSR bench shape
     (600, 128, 10000, 1e9),    # fewer candidates than kcap survivors
+    (512, 256, 300, 1e9),      # sharded cross-shard MERGE shape (round 5):
+                               # n_model*kcap candidates at the 4*LANES min
 ])
 def test_kernel_matches_sort_path(seed, n, kcap, ndst, beam):
     rng = np.random.default_rng(seed)
@@ -242,3 +244,35 @@ def test_duplicate_heavy_recombination():
         # heavy duplication can legitimately spill; the kept set must
         # still be a subset of the reference winners
         assert set(pairs(ks, kd, ka)) <= set(pairs(rs, rd, ra))
+
+
+def test_merge_shape_with_neg_padding():
+    """The sharded decoder's cross-shard merge (round 5): two per-shard
+    top-kcap candidate sets (each already dst-unique WITHIN a shard,
+    duplicated ACROSS shards) NEG-padded up to the kernel's 4*LANES
+    minimum pool.  Padding must never surface and the merged top-kcap
+    must equal the sort reference."""
+    rng = np.random.default_rng(9)
+    kcap = 128
+    sets = []
+    for s in range(2):
+        d = rng.choice(500, kcap, replace=False).astype(np.int32)
+        v = (rng.standard_normal(kcap) * 4).astype(np.float32)
+        a = (rng.integers(0, 10_000, kcap)).astype(np.int32)
+        sets.append((v, d, a))
+    gv = np.concatenate([s[0] for s in sets])
+    gd = np.concatenate([s[1] for s in sets])
+    ga = np.concatenate([s[2] for s in sets])
+    pad = 4 * 128 - len(gv)
+    gv = np.concatenate([gv, np.full(pad, select.NEG, np.float32)])
+    gd = np.concatenate([gd, np.zeros(pad, np.int32)])
+    ga = np.concatenate([ga, np.full(pad, -1, np.int32)])
+    rs, rd, ra = ref_select(gv, gd, ga, 1e9, kcap)
+    ks, kd, ka, spill = select.recombine_topk(
+        jnp.asarray(gv), jnp.asarray(gd), jnp.asarray(ga),
+        jnp.float32(1e9), kcap=kcap)
+    assert not bool(spill)
+    got = pairs(ks, kd, ka)
+    assert got == pairs(rs, rd, ra)
+    # padding (arc = -1) must never appear among the alive winners
+    assert all(a != -1 for *_, a in got)
